@@ -1,0 +1,120 @@
+"""Differentiable affine warping (NHWC) with exact torch parity.
+
+`affine_grid` + `grid_sample` reproduce torch.nn.functional semantics with
+`align_corners=True`, bilinear interpolation, zero padding — the reference's
+feature-crop path (/root/reference/lav/models/bev_planner.py:224-266
+`crop_feature`) depends on these semantics at policy level.
+
+TPU notes: the sampler is a pure gather + 4-tap lerp; XLA fuses it with
+surrounding elementwise work.  All shapes static; batch handled by vmap-style
+broadcasting inside one kernel rather than a Python loop.
+"""
+
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+
+
+def affine_grid(theta, out_h: int, out_w: int):
+    """Sampling grid for a batch of 2x3 affine maps.
+
+    theta: (B, 2, 3) mapping normalized target coords (x_t, y_t, 1) to
+    normalized source coords; returns grid (B, out_h, out_w, 2) with
+    grid[..., 0] = x_s, grid[..., 1] = y_s.  align_corners=True: the
+    normalized coords of pixel centers span exactly [-1, 1].
+    """
+    xs = jnp.linspace(-1.0, 1.0, out_w)
+    ys = jnp.linspace(-1.0, 1.0, out_h)
+    base = jnp.stack(
+        [
+            jnp.tile(xs[None, :], (out_h, 1)),
+            jnp.tile(ys[:, None], (1, out_w)),
+            jnp.ones((out_h, out_w)),
+        ],
+        axis=-1,
+    )  # (H, W, 3)
+    # (B, H, W, 2) = (H, W, 3) @ (B, 3, 2); full precision — grid coords are
+    # parity-critical and this op is negligible compute.
+    return jnp.einsum(
+        "hwk,bjk->bhwj", base, theta, precision=jax.lax.Precision.HIGHEST
+    )
+
+
+def grid_sample(img, grid):
+    """Bilinear sample `img` (B, H, W, C) at `grid` (B, Ho, Wo, 2).
+
+    align_corners=True, zero padding: out-of-range taps contribute zero.
+    grid[..., 0] is the x (width) coordinate in [-1, 1].
+    """
+    B, H, W, C = img.shape
+    ix = (grid[..., 0] + 1.0) * 0.5 * (W - 1)
+    iy = (grid[..., 1] + 1.0) * 0.5 * (H - 1)
+
+    x0 = jnp.floor(ix)
+    y0 = jnp.floor(iy)
+    x1 = x0 + 1.0
+    y1 = y0 + 1.0
+
+    wx1 = ix - x0
+    wy1 = iy - y0
+    wx0 = 1.0 - wx1
+    wy0 = 1.0 - wy1
+
+    def tap(xf, yf, wx, wy):
+        inb = (xf >= 0) & (xf <= W - 1) & (yf >= 0) & (yf <= H - 1)
+        xi = jnp.clip(xf, 0, W - 1).astype(jnp.int32)
+        yi = jnp.clip(yf, 0, H - 1).astype(jnp.int32)
+        # gather per batch: (B, Ho, Wo, C)
+        vals = jnp.take_along_axis(
+            img.reshape(B, H * W, C),
+            (yi * W + xi).reshape(B, -1, 1),
+            axis=1,
+        ).reshape(*xi.shape, C)
+        w = (wx * wy * inb)[..., None]
+        return vals * w
+
+    out = (
+        tap(x0, y0, wx0, wy0)
+        + tap(x1, y0, wx1, wy0)
+        + tap(x0, y1, wx0, wy1)
+        + tap(x1, y1, wx1, wy1)
+    )
+    return out.astype(img.dtype)
+
+
+def crop_feature(
+    features,
+    rel_locs,
+    rel_oris,
+    *,
+    pixels_per_meter: float,
+    crop_size: int,
+    offset_x: float = 0.0,
+    offset_y: float = 0.75,
+):
+    """Rotated ego/actor-centric crop from a BEV feature map.
+
+    features: (B, H, W, C);  rel_locs: (B, 2) meters; rel_oris: (B,) radians.
+    Builds the same affine map as the reference `crop_feature`
+    (bev_planner.py:224-266): scale k = crop_size/H, rotation by rel_ori,
+    and an offset that keeps the ego anchor (offset_x, offset_y in
+    normalized coords) fixed under the crop.
+    """
+    B, H, W, _ = features.shape
+    rel = rel_locs.reshape(-1, 2) * pixels_per_meter / jnp.array(
+        [H / 2.0, W / 2.0], dtype=features.dtype
+    )
+    cos = jnp.cos(rel_oris)
+    sin = jnp.sin(rel_oris)
+    k = crop_size / H
+
+    rot_x_off = -k * offset_x * cos + k * offset_y * sin + offset_x
+    rot_y_off = -k * offset_x * sin - k * offset_y * cos + offset_y
+
+    row0 = jnp.stack([k * cos, -k * sin, rot_x_off + rel[..., 0]], axis=-1)
+    row1 = jnp.stack([k * sin, k * cos, rot_y_off + rel[..., 1]], axis=-1)
+    theta = jnp.stack([row0, row1], axis=-2)  # (B, 2, 3)
+
+    grid = affine_grid(theta, crop_size, crop_size)
+    return grid_sample(features, grid)

@@ -1,0 +1,164 @@
+"""LiDAR perception model: PointPillars + FPN conv backbone + dense heads.
+
+Architecture mirrors the reference LiDARModel
+(/root/reference/lav/models/lidar.py:7-164): three strided conv stages whose
+transposed-conv up-projections concatenate to a 6*num_feature half-resolution
+feature map, plus four heads (center heatmap, box size, orientation, BEV
+segmentation).  Note the reference's Conv->ReLU->BN ordering (BN after the
+activation, eps=1e-3, momentum=0.01) — reproduced exactly for weight parity.
+
+TPU-first differences: NHWC, pillar featurization is the static-shape
+segment-op formulation in lav_tpu.ops.pillar, and the whole forward is one
+jittable function.
+"""
+
+from __future__ import annotations
+
+from typing import Sequence
+
+import jax
+import jax.numpy as jnp
+
+from lav_tpu.nn import layers as L
+from lav_tpu.ops.pillar import point_pillar_init, point_pillar_apply
+
+_BN_CFG = dict(eps=1e-3, momentum=0.01)
+
+
+def _conv_block_init(key, cin, cout):
+    return {"conv": L.conv2d_init(key, cin, cout, 3, bias=False),
+            "bn": L.batchnorm_init(cout)}
+
+
+def _conv_block(p, x, stride, train):
+    out = L.conv2d(p["conv"], x, stride=stride, padding=1)
+    out = jax.nn.relu(out)
+    out, st = L.batchnorm(p["bn"], out, train, **_BN_CFG)
+    return out, {"bn": st}
+
+
+def _upconv_block_init(key, cin, cout, ksize):
+    return {"conv": L.conv_transpose2d_init(key, cin, cout, ksize, bias=False),
+            "bn": L.batchnorm_init(cout)}
+
+
+def _upconv_block(p, x, stride, padding, output_padding, train):
+    out = L.conv_transpose2d(
+        p["conv"], x, stride=stride, padding=padding, output_padding=output_padding
+    )
+    out = jax.nn.relu(out)
+    out, st = L.batchnorm(p["bn"], out, train, **_BN_CFG)
+    return out, {"bn": st}
+
+
+def _head_init(key, cin, cout, hidden=64):
+    k1, k2 = jax.random.split(key)
+    return {
+        "conv": L.conv2d_init(k1, cin, hidden, 3, bias=False),
+        "bn": L.batchnorm_init(hidden),
+        "up": L.conv_transpose2d_init(k2, hidden, cout, 3, bias=True),
+    }
+
+
+def _head(p, x, train):
+    out = L.conv2d(p["conv"], x, stride=1, padding=1)
+    out = jax.nn.relu(out)
+    out, st = L.batchnorm(p["bn"], out, train, **_BN_CFG)
+    out = L.conv_transpose2d(p["up"], out, stride=2, padding=1, output_padding=1)
+    return out, {"bn": st}
+
+
+# stage schedule: (n_convs, channel multiplier) per reference lidar.py:57-112
+_STAGES = ((4, 1), (6, 2), (6, 2))
+
+
+def backbone_init(key, num_feature: int):
+    n = sum(s[0] for s in _STAGES) + 3
+    ks = jax.random.split(key, n)
+    ki = iter(range(n))
+    p = {}
+    cin = num_feature
+    for s, (n_convs, mult) in enumerate(_STAGES):
+        cout = num_feature * mult
+        for b in range(n_convs):
+            p[f"conv{s + 1}_{b}"] = _conv_block_init(ks[next(ki)], cin, cout)
+            cin = cout
+    p["upconv1"] = _upconv_block_init(ks[next(ki)], num_feature, 2 * num_feature, 1)
+    p["upconv2"] = _upconv_block_init(ks[next(ki)], 2 * num_feature, 2 * num_feature, 4)
+    p["upconv3"] = _upconv_block_init(ks[next(ki)], 2 * num_feature, 2 * num_feature, 4)
+    return p
+
+
+def backbone_apply(p, x, train: bool):
+    state = {}
+    stage_outs = []
+    out = x
+    for s, (n_convs, _) in enumerate(_STAGES):
+        for b in range(n_convs):
+            name = f"conv{s + 1}_{b}"
+            stride = 2 if b == 0 else 1
+            out, state[name] = _conv_block(p[name], out, stride, train)
+        stage_outs.append(out)
+
+    u1, state["upconv1"] = _upconv_block(p["upconv1"], stage_outs[0], 1, 0, 0, train)
+    u2, state["upconv2"] = _upconv_block(p["upconv2"], stage_outs[1], 2, 1, 0, train)
+    # reference: ConvTranspose2d(k=4, stride=4, padding=1, output_padding=2)
+    u3, state["upconv3"] = _upconv_block(p["upconv3"], stage_outs[2], 4, 1, 2, train)
+    return jnp.concatenate([u1, u2, u3], axis=-1), state
+
+
+def lidar_model_init(key, num_input: int, num_features: Sequence[int]):
+    ks = jax.random.split(key, 6)
+    nf = num_features[-1]
+    return {
+        "point_pillar": point_pillar_init(ks[0], num_input, num_features),
+        "backbone": backbone_init(ks[1], nf),
+        "center_head": _head_init(ks[2], 6 * nf, 2),
+        "box_head": _head_init(ks[3], 6 * nf, 2),
+        "ori_head": _head_init(ks[4], 6 * nf, 2),
+        "seg_head": _head_init(ks[5], 6 * nf, 3),
+    }
+
+
+def lidar_model_apply(
+    p,
+    points,
+    valid,
+    *,
+    min_x: float,
+    max_x: float,
+    min_y: float,
+    max_y: float,
+    pixels_per_meter: float,
+    num_features: Sequence[int],
+    train: bool = False,
+):
+    """points (B, P, D) padded, valid (B, P).
+
+    Returns (features, heatmap_logits, sizemaps, orimaps, bev_seg, state):
+      features (B, ny/2, nx/2, 6*nf), head outputs at full (ny, nx)
+      resolution; bev_seg passed through sigmoid (reference lidar.py:32).
+    """
+    canvas, st_pp = point_pillar_apply(
+        p["point_pillar"], points, valid,
+        min_x=min_x, max_x=max_x, min_y=min_y, max_y=max_y,
+        pixels_per_meter=pixels_per_meter, num_features=num_features,
+        train=train,
+    )
+    features, st_bb = backbone_apply(p["backbone"], canvas, train)
+    hm, st_c = _head(p["center_head"], features, train)
+    box, st_b = _head(p["box_head"], features, train)
+    ori, st_o = _head(p["ori_head"], features, train)
+    seg, st_s = _head(p["seg_head"], features, train)
+    seg = jax.nn.sigmoid(seg)
+    state = {
+        "point_pillar": st_pp,
+        "backbone": st_bb,
+        "center_head": st_c,
+        "box_head": st_b,
+        "ori_head": st_o,
+        "seg_head": st_s,
+    }
+    # heads output NHWC; convert to channel-first maps for loss/decoding
+    to_chw = lambda t: jnp.moveaxis(t, -1, 1)
+    return features, to_chw(hm), to_chw(box), to_chw(ori), to_chw(seg), state
