@@ -1,0 +1,66 @@
+"""Benchmark: full fused v2 agent steps/sec/chip on real TPU hardware.
+
+Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
+Baseline: the driver target of >=500 full perception->plan agent
+steps/sec/chip (BASELINE.md).  Each "step" is one complete agent tick:
+3-camera ERFNet segmentation, on-device point painting, temporal pillar
+perception (320x320 canvas), masked peak detection, multi-modal
+cast/plan GRU rollouts, EKF + PID control — vmapped over NUM_EGO vehicles.
+"""
+
+import json
+import os
+import sys
+import time
+
+import numpy as np
+
+import jax
+import jax.numpy as jnp
+
+NUM_EGO = int(os.environ.get("BENCH_NUM_EGO", "16"))
+WARMUP = 3
+ITERS = int(os.environ.get("BENCH_ITERS", "20"))
+MAX_POINTS = int(os.environ.get("BENCH_MAX_POINTS", "8192"))
+BASELINE_STEPS_PER_SEC = 500.0
+
+
+def main():
+    sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+    from __graft_entry__ import _v2_agent_setup
+
+    step, params, state0, obs0 = _v2_agent_setup(max_points=MAX_POINTS)
+
+    # batch the whole agent over an ego axis
+    states = jax.tree.map(lambda x: jnp.stack([x] * NUM_EGO), state0)
+    obs = jax.tree.map(lambda x: jnp.stack([x] * NUM_EGO), obs0)
+
+    vstep = jax.vmap(step, in_axes=(None, 0, 0))
+
+    @jax.jit
+    def tick(params, states, obs):
+        ctrl, new_states, _ = vstep(params, states, obs)
+        return ctrl, new_states
+
+    # warmup/compile
+    for _ in range(WARMUP):
+        ctrl, states = tick(params, states, obs)
+    jax.block_until_ready(ctrl)
+
+    t0 = time.perf_counter()
+    for _ in range(ITERS):
+        ctrl, states = tick(params, states, obs)
+    jax.block_until_ready(ctrl)
+    dt = time.perf_counter() - t0
+
+    steps_per_sec = NUM_EGO * ITERS / dt
+    print(json.dumps({
+        "metric": "v2_fused_agent_steps_per_sec_per_chip",
+        "value": round(steps_per_sec, 2),
+        "unit": "steps/s",
+        "vs_baseline": round(steps_per_sec / BASELINE_STEPS_PER_SEC, 3),
+    }))
+
+
+if __name__ == "__main__":
+    main()

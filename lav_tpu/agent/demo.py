@@ -1,0 +1,84 @@
+"""Closed-loop demo: run the fused agent on a replayed (or synthetic)
+episode and report control statistics + per-tick latency.
+
+    python -m lav_tpu.agent.demo --ticks 20 --v2
+"""
+
+from __future__ import annotations
+
+import argparse
+
+import numpy as np
+
+import jax
+import jax.numpy as jnp
+
+from lav_tpu.config import tiny_config, v1_config, v2_config
+from lav_tpu.agent.agent import build_agent
+from lav_tpu.agent.env import ReplayEnv
+from lav_tpu.data.store import make_synthetic_episode
+from lav_tpu.models.lidar import lidar_model_init
+from lav_tpu.models.planner import uniplanner_init
+from lav_tpu.models.rgb import brake_model_init, seg_model_init
+from lav_tpu.utils.profiling import StepTimer
+
+
+def build_params(cfg, seed: int = 0):
+    ks = jax.random.split(jax.random.key(seed), 4)
+    return {
+        "lidar_model": lidar_model_init(ks[0], cfg.num_input, cfg.num_features),
+        "uniplanner": uniplanner_init(ks[1], cfg),
+        "seg_model": seg_model_init(ks[2], len(cfg.seg_channels)),
+        "bra_model": brake_model_init(
+            ks[3], 3, version=2 if cfg.num_frame_stack > 0 else 1
+        ),
+    }
+
+
+def main():
+    p = argparse.ArgumentParser()
+    p.add_argument("--ticks", type=int, default=20)
+    p.add_argument("--v2", action="store_true")
+    p.add_argument("--tiny", action="store_true")
+    p.add_argument("--max-points", type=int, default=2048)
+    args = p.parse_args()
+
+    cfg = (tiny_config() if args.tiny
+           else v2_config() if args.v2 else v1_config())
+    img_hw = (32, 32) if args.tiny else (288, 256)
+
+    ep = make_synthetic_episode(
+        n_frames=max(args.ticks + cfg.num_plan + 1, 16),
+        n_lidar=args.max_points, img_hw=img_hw,
+        bev_hw=(cfg.ny, cfg.nx),
+    )
+    env = ReplayEnv(ep, cfg, max_points=args.max_points)
+
+    init_state, step = build_agent(cfg, max_points=args.max_points,
+                                   rgb_hw=img_hw)
+    params = build_params(cfg)
+    state = init_state()
+    jstep = jax.jit(step)
+
+    timer = StepTimer(warmup=2)
+    controls = []
+    for t, obs in enumerate(env.frames()):
+        if t >= args.ticks:
+            break
+        obs = jax.tree.map(jnp.asarray, obs)
+        timer.start()
+        ctrl, state, aux = jstep(params, state, obs)
+        dt = timer.stop(ctrl)
+        controls.append([float(ctrl.steer), float(ctrl.throttle),
+                         float(ctrl.brake)])
+        print(f"tick {t:3d}: steer={controls[-1][0]:+.3f} "
+              f"throttle={controls[-1][1]:.3f} brake={controls[-1][2]:.0f} "
+              f"({dt * 1000:.1f} ms)")
+
+    c = np.asarray(controls)
+    assert np.isfinite(c).all(), "non-finite control emitted"
+    print("latency:", {k: round(v, 4) for k, v in timer.stats().items()})
+
+
+if __name__ == "__main__":
+    main()

@@ -12,6 +12,16 @@ from __future__ import annotations
 import jax.numpy as jnp
 
 
+def build_seg_mask(h: int, w: int, cx: float, cy: float,
+                   radius_x: float = 240.0, radius_y: float = 240.0):
+    """Gaussian spatial weighting centered on the ego pixel, used by the v2
+    distillation trainer to focus the BEV seg loss near the ego
+    (reference lav_final_v2.py:261-271)."""
+    gx = jnp.exp(-(((jnp.arange(w, dtype=jnp.float32) - cx) / radius_x) ** 2))
+    gy = jnp.exp(-(((jnp.arange(h, dtype=jnp.float32) - cy) / radius_y) ** 2))
+    return gy[:, None] * gx[None, :]
+
+
 def detections_to_heatmap(
     locs,
     oris,

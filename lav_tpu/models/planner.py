@@ -1,0 +1,495 @@
+"""BEVPlanner (privileged teacher) and UniPlanner (LiDAR student).
+
+Re-architecture of the reference planners
+(/root/reference/lav/models/bev_planner.py:8-298,
+/root/reference/lav/models/uniplanner.py:8-348) for TPU:
+
+  * the 6 per-command GRU "cast" branches are ONE vmapped GRU bank
+    (stacked weights) instead of a ModuleList Python loop
+  * the shared plan GRU evaluates all commands as one (B*num_cmds) batch
+  * "other vehicle" handling is fixed-capacity: `max_num_cars` slots with a
+    validity mask replace the reference's data-dependent boolean indexing
+    (`random_sample`, bev_planner.py:287-298)
+  * GRU rollouts and refinement iterations are `lax.scan`-friendly loops of
+    static length
+
+Faithfully reproduced quirks (documented, load-bearing for weight parity):
+  * UniPlanner's `cast(mode='other')` actually uses the EGO gru bank
+    (uniplanner.py:266-271); the `other` bank exists in checkpoints but is
+    never evaluated.
+  * Ego crops in BEVPlanner.forward use zero jitter (bev_planner.py:148-154);
+    UniPlanner jitters its ego crop (uniplanner.py:117-125).
+"""
+
+from __future__ import annotations
+
+import math
+from typing import Dict, NamedTuple, Optional
+
+import jax
+import jax.numpy as jnp
+
+from lav_tpu.config import LAVConfig
+from lav_tpu.core.geometry import transform_points
+from lav_tpu.core.warp import crop_feature
+from lav_tpu.nn import layers as L
+from lav_tpu.nn.resnet import resnet18_init, resnet_apply
+
+EMBD = 512  # resnet18 layer4 channels / GRU hidden size
+
+
+# ---------------------------------------------------------------------------
+# shared cast/plan core
+# ---------------------------------------------------------------------------
+
+def _stacked(init_fn, key, n: int):
+    return jax.vmap(init_fn)(jax.random.split(key, n))
+
+
+def planner_core_init(key, num_cmds: int, with_other_bank: bool = False):
+    ks = jax.random.split(key, 6)
+    p = {
+        "plan_gru": L.gru_init(ks[0], 4, EMBD),
+        "plan_mlp": L.linear_init(ks[1], EMBD, 2),
+        "cast_grus": _stacked(lambda k: L.gru_init(k, EMBD, 64), ks[2], num_cmds),
+        "cast_mlps": _stacked(lambda k: L.linear_init(k, 64, 2), ks[3], num_cmds),
+        "cast_cmd_pred": L.linear_init(ks[4], EMBD, num_cmds),
+    }
+    if with_other_bank:
+        # kept for checkpoint-structure parity; never evaluated (see module
+        # docstring on the reference's mode='other' quirk)
+        p["cast_grus_other"] = _stacked(
+            lambda k: L.gru_init(k, EMBD, 64), ks[5], num_cmds
+        )
+        p["cast_mlps_other"] = _stacked(
+            lambda k: L.linear_init(k, 64, 2), jax.random.split(ks[5])[0], num_cmds
+        )
+    return p
+
+
+def cast(core, embd, num_plan: int):
+    """embd (B, EMBD) -> multi-command trajectories (B, num_cmds, T, 2).
+
+    Each command branch: GRU fed the embedding at every step, cumulative-sum
+    decoded deltas (reference cast, bev_planner.py:211-222)."""
+    B = embd.shape[0]
+    u = jnp.broadcast_to(embd[:, None], (B, num_plan, EMBD))
+
+    def one_branch(gru_p, mlp_p):
+        out, _ = L.gru(gru_p, u)
+        return jnp.cumsum(L.linear(mlp_p, out), axis=1)
+
+    locs = jax.vmap(one_branch)(core["cast_grus"], core["cast_mlps"])
+    return jnp.moveaxis(locs, 0, 1)  # (B, C, T, 2)
+
+
+def cast_cmd_pred(core, embd):
+    return jax.nn.sigmoid(L.linear(core["cast_cmd_pred"], embd))
+
+
+def _plan_once(core, embd, nxp, cast_locs, *, num_plan: int,
+               pixels_per_meter: float, crop_size: int):
+    """One refinement pass (reference _plan, bev_planner.py:178-195).
+
+    All num_cmds branches share the plan GRU -> evaluate as one fused batch.
+    """
+    B, C = cast_locs.shape[0], cast_locs.shape[1]
+    u0 = nxp * pixels_per_meter / crop_size * 2.0 - 1.0  # (B, 2)
+    u0 = jnp.broadcast_to(u0[:, None, None], (B, C, num_plan, 2))
+    u = jnp.concatenate([u0, cast_locs], axis=-1).reshape(B * C, num_plan, 4)
+    h0 = jnp.broadcast_to(embd[:, None], (B, C, EMBD)).reshape(B * C, EMBD)
+    out, _ = L.gru(core["plan_gru"], u, h0)
+    locs = jnp.cumsum(L.linear(core["plan_mlp"], out), axis=1)
+    return locs.reshape(B, C, num_plan, 2) + cast_locs
+
+
+def plan(core, embd, nxp, cast_locs, *, num_plan: int, num_plan_iter: int,
+         pixels_per_meter: float, crop_size: int):
+    """Iterative refinement; returns (B, num_plan_iter, C, T, 2)."""
+    loc = jax.lax.stop_gradient(cast_locs)
+    outs = []
+    for _ in range(num_plan_iter):
+        loc = _plan_once(core, embd, nxp, loc, num_plan=num_plan,
+                         pixels_per_meter=pixels_per_meter, crop_size=crop_size)
+        outs.append(loc)
+    return jnp.stack(outs, axis=1)
+
+
+# ---------------------------------------------------------------------------
+# car selection (static-capacity replacement for filter_cars+random_sample)
+# ---------------------------------------------------------------------------
+
+def select_cars(rng, ego_locs, locs, oris, typs, max_num_cars: int):
+    """Pick up to `max_num_cars` other-vehicle slots per batch item.
+
+    locs (B, N, T+1, 2), oris (B, N), typs (B, N) int — slot 0 (ego) already
+    removed by the caller.  A car qualifies if typ==1 and it is ahead of the
+    ego (rel y < 0, reference filter_cars bev_planner.py:280-284).  Random
+    subsampling replaces torch.multinomial (reference random_sample) — both
+    are uniform without replacement.
+
+    Returns (idx (B, K) int, car_valid (B, K) bool).
+    """
+    rel = locs[:, :, 0] - ego_locs[:, None, 0]
+    mask = (typs == 1) & (rel[..., 1] < 0)
+    scores = jnp.where(mask, jax.random.uniform(rng, mask.shape), -jnp.inf)
+    top_scores, idx = jax.lax.top_k(scores, max_num_cars)
+    return idx, jnp.isfinite(top_scores)
+
+
+def _gather_cars(arr, idx):
+    """arr (B, N, ...) gathered at idx (B, K) -> (B, K, ...)."""
+    return jax.vmap(lambda a, i: a[i])(arr, idx)
+
+
+# ---------------------------------------------------------------------------
+# BEVPlanner
+# ---------------------------------------------------------------------------
+
+class PlannerOutputs(NamedTuple):
+    """Fixed-shape planner forward results (teacher or student)."""
+    other_locs: jnp.ndarray        # (B, K, T, 2) GT future of selected cars
+    other_cast_locs: jnp.ndarray   # (B, K, C, T, 2)
+    other_cast_cmds: jnp.ndarray   # (B, K, C)
+    ego_plan_locs: jnp.ndarray     # (B, I, C, T, 2)
+    ego_cast_locs: jnp.ndarray     # (B, C, T, 2)
+    ego_cast_cmds: jnp.ndarray     # (B, C)
+    car_valid: jnp.ndarray         # (B, K) bool
+
+
+def bev_planner_init(key, cfg: LAVConfig):
+    k1, k2 = jax.random.split(key)
+    return {
+        "bev_conv_emb": resnet18_init(k1, cfg.bev_input_channels),
+        **planner_core_init(k2, cfg.num_cmds),
+    }
+
+
+def _conv_emb(resnet_params, x, train: bool):
+    feats, state = resnet_apply(resnet_params, x, train)
+    return feats.mean(axis=(1, 2)), state
+
+
+def _jitter(rng, shape_k, feature_x_jitter, feature_angle_jitter_rad):
+    kl, ko = jax.random.split(rng)
+    loc = (jax.random.uniform(kl, shape_k + (2,)) * 2 - 1) * feature_x_jitter
+    loc = loc.at[..., 1].set(0.0)
+    ori = (jax.random.uniform(ko, shape_k) * 2 - 1) * feature_angle_jitter_rad
+    return loc, ori
+
+
+def bev_planner_forward(params, cfg: LAVConfig, bev, ego_locs, locs, oris,
+                        nxps, typs, rng, train: bool = True):
+    """Teacher forward (reference bev_planner.py:74-176).
+
+    bev (B, H, W, Cin) NHWC; ego_locs (B, T+1, 2); locs (B, max_objs, T+1, 2);
+    oris (B, max_objs); nxps (B, 2); typs (B, max_objs) int.
+    Returns (PlannerOutputs, bn_state).
+    """
+    B = bev.shape[0]
+    K = cfg.max_num_cars
+    ang_jit = math.radians(cfg.feature_angle_jitter)
+    r_sel, r_jit = jax.random.split(rng)
+
+    ego_oris = oris[:, 0]
+    o_locs, o_oris, o_typs = locs[:, 1:], oris[:, 1:], typs[:, 1:]
+
+    idx, car_valid = select_cars(r_sel, ego_locs, o_locs, o_oris, o_typs, K)
+    sel_locs = _gather_cars(o_locs, idx)            # (B, K, T+1, 2)
+    sel_oris = _gather_cars(o_oris, idx)            # (B, K)
+
+    rel_loc0 = sel_locs[:, :, 0] - ego_locs[:, None, 0]       # (B, K, 2)
+    rel_ori0 = sel_oris - ego_oris[:, None]                   # (B, K)
+    fut = sel_locs[:, :, 1:] - sel_locs[:, :, :1]             # (B, K, T, 2)
+
+    if train:
+        loc_jit, ori_jit = _jitter(r_jit, (B, K), cfg.feature_x_jitter, ang_jit)
+    else:
+        loc_jit = jnp.zeros((B, K, 2))
+        ori_jit = jnp.zeros((B, K))
+
+    # crop every selected car's rotated BEV neighborhood (one fused batch)
+    flat_bev = jnp.broadcast_to(
+        bev[:, None], (B, K) + bev.shape[1:]
+    ).reshape((B * K,) + bev.shape[1:])
+    crop_other = crop_feature(
+        flat_bev,
+        (rel_loc0 + loc_jit).reshape(B * K, 2),
+        (rel_ori0 + ori_jit).reshape(B * K),
+        pixels_per_meter=cfg.pixels_per_meter,
+        crop_size=cfg.crop_size * 2,
+        offset_y=cfg.y_offset,
+    )
+    other_locs = transform_points(fut - loc_jit[:, :, None], -rel_ori0 - ori_jit)
+
+    other_embd, st_other = _conv_emb(params["bev_conv_emb"], crop_other, train)
+    other_cast_locs = cast(params, other_embd, cfg.num_plan)
+    other_cast_cmds = cast_cmd_pred(params, other_embd)
+
+    # ego: zero jitter (reference bev_planner.py:148-154)
+    crop_ego = crop_feature(
+        bev, jnp.zeros((B, 2)), jnp.zeros((B,)),
+        pixels_per_meter=cfg.pixels_per_meter,
+        crop_size=cfg.crop_size * 2,
+        offset_y=cfg.y_offset,
+    )
+    ego_embd, st_ego = _conv_emb(params["bev_conv_emb"], crop_ego, train)
+    ego_cast_locs = cast(params, ego_embd, cfg.num_plan)
+    ego_plan_locs = plan(
+        params, ego_embd, nxps, ego_cast_locs,
+        num_plan=cfg.num_plan, num_plan_iter=cfg.num_plan_iter,
+        pixels_per_meter=cfg.pixels_per_meter, crop_size=cfg.crop_size * 2,
+    )
+    ego_cast_cmds = cast_cmd_pred(params, ego_embd)
+
+    out = PlannerOutputs(
+        other_locs=other_locs,
+        other_cast_locs=other_cast_locs.reshape(B, K, cfg.num_cmds, cfg.num_plan, 2),
+        other_cast_cmds=other_cast_cmds.reshape(B, K, cfg.num_cmds),
+        ego_plan_locs=ego_plan_locs,
+        ego_cast_locs=ego_cast_locs,
+        ego_cast_cmds=ego_cast_cmds,
+        car_valid=car_valid,
+    )
+    # ego BN state wins (same weights used twice; last write matches torch
+    # call order where ego crop is embedded after the others)
+    return out, {"bev_conv_emb": st_ego}
+
+
+def bev_planner_infer(params, cfg: LAVConfig, bev, nxps):
+    """Inference: plan from the ego crop only (reference infer, :50-72).
+    bev (B, H, W, C); nxps (B, 2)."""
+    B = bev.shape[0]
+    crop_ego = crop_feature(
+        bev, jnp.zeros((B, 2)), jnp.zeros((B,)),
+        pixels_per_meter=cfg.pixels_per_meter,
+        crop_size=cfg.crop_size * 2,
+        offset_y=cfg.y_offset,
+    )
+    embd, _ = _conv_emb(params["bev_conv_emb"], crop_ego, False)
+    cast_locs = cast(params, embd, cfg.num_plan)
+    plan_locs = plan(
+        params, embd, nxps, cast_locs,
+        num_plan=cfg.num_plan, num_plan_iter=cfg.num_plan_iter,
+        pixels_per_meter=cfg.pixels_per_meter, crop_size=cfg.crop_size * 2,
+    )
+    return plan_locs, cast_locs, cast_cmd_pred(params, embd)
+
+
+# ---------------------------------------------------------------------------
+# UniPlanner
+# ---------------------------------------------------------------------------
+
+class UniPlannerOutputs(NamedTuple):
+    other_locs: jnp.ndarray              # (B, K, T, 2)
+    other_cast_locs: jnp.ndarray         # (B, K, C, T, 2) student
+    other_cast_cmds: jnp.ndarray         # (B, K, C) student
+    other_cast_locs_expert: jnp.ndarray  # (B, K, C, T, 2) teacher (stopgrad)
+    other_cast_cmds_expert: jnp.ndarray  # (B, K, C)
+    ego_locs: jnp.ndarray                # (B, T, 2) jittered GT ego future
+    ego_plan_locs: jnp.ndarray           # (B, I, C, T, 2)
+    ego_cast_locs: jnp.ndarray           # (B, C, T, 2)
+    ego_cast_cmds: jnp.ndarray           # (B, C)
+    ego_cast_locs_expert: jnp.ndarray    # (B, C, T, 2)
+    ego_plan_locs_expert: jnp.ndarray    # (B, I, C, T, 2)
+    car_valid: jnp.ndarray               # (B, K)
+
+
+def uniplanner_init(key, cfg: LAVConfig, bev_planner_params=None):
+    k1, k2, k3 = jax.random.split(key, 3)
+    if bev_planner_params is None:
+        bev_planner_params = bev_planner_init(k3, cfg)
+    return {
+        "lidar_conv_emb": resnet18_init(k1, cfg.uniplanner_input_channels),
+        **planner_core_init(k2, cfg.num_cmds, with_other_bank=True),
+        "bev_planner": bev_planner_params,
+    }
+
+
+def uniplanner_forward(params, cfg: LAVConfig, features, bev, ego_locs, locs,
+                       oris, nxps, typs, rng, train: bool = True):
+    """Student forward with in-graph frozen teacher
+    (reference uniplanner.py:56-150).
+
+    features (B, Hf, Wf, Cf) LiDAR backbone output (half resolution);
+    bev (B, H, W, Cin) ground-truth BEV for the teacher.
+    """
+    B = features.shape[0]
+    K = cfg.max_num_cars_student
+    ang_jit = math.radians(cfg.feature_angle_jitter)
+    teacher = params["bev_planner"]
+    r_sel, r_jit_o, r_jit_e = jax.random.split(rng, 3)
+
+    ego_oris = oris[:, 0]
+    o_locs, o_oris, o_typs = locs[:, 1:], oris[:, 1:], typs[:, 1:]
+
+    idx, car_valid = select_cars(r_sel, ego_locs, o_locs, o_oris, o_typs, K)
+    sel_locs = _gather_cars(o_locs, idx)
+    sel_oris = _gather_cars(o_oris, idx)
+
+    rel_loc0 = sel_locs[:, :, 0] - ego_locs[:, None, 0]
+    rel_ori0 = sel_oris - ego_oris[:, None]
+    fut = sel_locs[:, :, 1:] - sel_locs[:, :, :1]
+
+    if train:
+        loc_jit, ori_jit = _jitter(r_jit_o, (B, K), cfg.feature_x_jitter, ang_jit)
+    else:
+        loc_jit = jnp.zeros((B, K, 2))
+        ori_jit = jnp.zeros((B, K))
+
+    def tile(t):
+        return jnp.broadcast_to(t[:, None], (B, K) + t.shape[1:]).reshape(
+            (B * K,) + t.shape[1:]
+        )
+
+    flat_rl = (rel_loc0 + loc_jit).reshape(B * K, 2)
+    flat_ro = (rel_ori0 + ori_jit).reshape(B * K)
+
+    crop_other_feat = crop_feature(
+        tile(features), flat_rl, flat_ro,
+        pixels_per_meter=cfg.pixels_per_meter / 2,
+        crop_size=cfg.crop_size,
+        offset_y=cfg.y_offset,
+    )
+    crop_other_bev = crop_feature(
+        tile(bev), flat_rl, flat_ro,
+        pixels_per_meter=cfg.pixels_per_meter,
+        crop_size=cfg.crop_size * 2,
+        offset_y=cfg.y_offset,
+    )
+
+    other_locs = transform_points(fut - loc_jit[:, :, None], -rel_ori0 - ori_jit)
+
+    other_embd, st_other = _conv_emb(params["lidar_conv_emb"], crop_other_feat, train)
+    other_cast_locs = cast(params, other_embd, cfg.num_plan)
+    other_cast_cmds = cast_cmd_pred(params, other_embd)
+
+    # frozen teacher: eval-mode BN, no gradient (reference :99-102)
+    other_bev_embd, _ = _conv_emb(teacher["bev_conv_emb"], crop_other_bev, False)
+    other_cast_locs_expert = jax.lax.stop_gradient(
+        cast(teacher, other_bev_embd, cfg.num_plan)
+    )
+    other_cast_cmds_expert = jax.lax.stop_gradient(
+        cast_cmd_pred(teacher, other_bev_embd)
+    )
+
+    # ego (jittered here, unlike the teacher-only trainer)
+    if train:
+        eloc_jit, eori_jit = _jitter(r_jit_e, (B,), cfg.feature_x_jitter, ang_jit)
+    else:
+        eloc_jit = jnp.zeros((B, 2))
+        eori_jit = jnp.zeros((B,))
+
+    ego_fut = transform_points(ego_locs[:, 1:] - eloc_jit[:, None], -eori_jit)
+    nxps_j = transform_points(nxps[:, None] - eloc_jit[:, None], -eori_jit)[:, 0]
+
+    crop_ego_feat = crop_feature(
+        features, eloc_jit, eori_jit,
+        pixels_per_meter=cfg.pixels_per_meter / 2,
+        crop_size=cfg.crop_size,
+        offset_y=cfg.y_offset,
+    )
+    crop_ego_bev = crop_feature(
+        bev, eloc_jit, eori_jit,
+        pixels_per_meter=cfg.pixels_per_meter,
+        crop_size=cfg.crop_size * 2,
+        offset_y=cfg.y_offset,
+    )
+
+    ego_embd, st_ego = _conv_emb(params["lidar_conv_emb"], crop_ego_feat, train)
+    ego_bev_embd, _ = _conv_emb(teacher["bev_conv_emb"], crop_ego_bev, False)
+    ego_cast_locs_expert = jax.lax.stop_gradient(
+        cast(teacher, ego_bev_embd, cfg.num_plan)
+    )
+    ego_plan_locs_expert = jax.lax.stop_gradient(
+        plan(teacher, ego_bev_embd, nxps_j, ego_cast_locs_expert,
+             num_plan=cfg.num_plan, num_plan_iter=cfg.num_plan_iter,
+             pixels_per_meter=cfg.pixels_per_meter, crop_size=cfg.crop_size * 2)
+    )
+
+    ego_cast_locs = cast(params, ego_embd, cfg.num_plan)
+    ego_plan_locs = plan(
+        params, ego_embd, nxps_j, ego_cast_locs,
+        num_plan=cfg.num_plan, num_plan_iter=cfg.num_plan_iter,
+        pixels_per_meter=cfg.pixels_per_meter, crop_size=cfg.crop_size * 2,
+    )
+    ego_cast_cmds = cast_cmd_pred(params, ego_embd)
+
+    out = UniPlannerOutputs(
+        other_locs=other_locs,
+        other_cast_locs=other_cast_locs.reshape(B, K, cfg.num_cmds, cfg.num_plan, 2),
+        other_cast_cmds=other_cast_cmds.reshape(B, K, cfg.num_cmds),
+        other_cast_locs_expert=other_cast_locs_expert.reshape(
+            B, K, cfg.num_cmds, cfg.num_plan, 2
+        ),
+        other_cast_cmds_expert=other_cast_cmds_expert.reshape(B, K, cfg.num_cmds),
+        ego_locs=ego_fut,
+        ego_plan_locs=ego_plan_locs,
+        ego_cast_locs=ego_cast_locs,
+        ego_cast_cmds=ego_cast_cmds,
+        ego_cast_locs_expert=ego_cast_locs_expert,
+        ego_plan_locs_expert=ego_plan_locs_expert,
+        car_valid=car_valid,
+    )
+    return out, {"lidar_conv_emb": st_ego}
+
+
+def uniplanner_infer(params, cfg: LAVConfig, features, det, cmd, nxp):
+    """Fused inference for the agent (reference uniplanner.infer, :160-224,
+    and the torchscript uniplanner_infer, model_inference.py:123-187) with
+    fixed detection capacity.
+
+    features (Hf, Wf, Cf) single frame; det: Detections-like arrays for the
+    vehicle class — x, y, w, h, cos, sin, valid each (K,); cmd scalar int;
+    nxp (2,).
+    Returns (ego_plan_locs (T,2), ego_cast_cmd (T,2), other_cast_locs
+    (K, C, T, 2) in ego frame, other_cast_cmds (K, C), other_valid (K,)).
+    """
+    Hf, Wf = features.shape[0], features.shape[1]
+    H, W = Hf * 2, Wf * 2
+    center_x = W / 2.0  # + offset_x * W/2 with offset_x = 0
+    center_y = H / 2.0 + cfg.y_offset * H / 2.0
+    ppm = cfg.pixels_per_meter
+
+    x, y = det["x"].astype(jnp.float32), det["y"].astype(jnp.float32)
+    d2 = (x - center_x) ** 2 + (y - center_y) ** 2
+    ovalid = det["valid"] & (d2 > 4.0 ** 2)
+
+    olocs = jnp.stack([(x - center_x) / ppm, (y - center_y) / ppm], axis=-1)
+    ooris = jnp.arctan2(det["sin"], det["cos"])
+    K = olocs.shape[0]
+
+    feats_b = jnp.broadcast_to(features[None], (K,) + features.shape)
+    crop_other = crop_feature(
+        feats_b, olocs, ooris,
+        pixels_per_meter=ppm / 2, crop_size=cfg.crop_size,
+        offset_y=cfg.y_offset,
+    )
+    other_embd, _ = _conv_emb(params["lidar_conv_emb"], crop_other, False)
+    other_cast_locs = cast(params, other_embd, cfg.num_plan)  # ego bank (quirk)
+    other_cast_cmds = cast_cmd_pred(params, other_embd)
+    # rotate each car's forecast back into the ego frame
+    other_cast_locs = transform_points(
+        other_cast_locs, ooris[:, None, None]
+    ) + olocs[:, None, None]
+
+    crop_ego = crop_feature(
+        features[None], jnp.zeros((1, 2)), jnp.zeros((1,)),
+        pixels_per_meter=ppm / 2, crop_size=cfg.crop_size,
+        offset_y=cfg.y_offset,
+    )
+    ego_embd, _ = _conv_emb(params["lidar_conv_emb"], crop_ego, False)
+    ego_cast_locs = cast(params, ego_embd, cfg.num_plan)
+    ego_plan_all = plan(
+        params, ego_embd, nxp[None], ego_cast_locs,
+        num_plan=cfg.num_plan, num_plan_iter=cfg.num_plan_iter,
+        pixels_per_meter=ppm, crop_size=cfg.crop_size * 2,
+    )
+    ego_plan_locs = ego_plan_all[0, -1, cmd]
+    return (
+        ego_plan_locs,
+        ego_cast_locs[0, cmd],
+        other_cast_locs,
+        other_cast_cmds,
+        ovalid,
+    )

@@ -110,7 +110,8 @@ def erfnet_apply(p, x, train: bool = False, rng=None):
     """x: (B, H, W, 3) normalized to [-1, 1] by the caller. Returns logits
     (B, H, W, num_classes) and BN state tree."""
     state = {}
-    n_drop = sum(1 for b in _ENC_BLOCKS + tuple(_DEC_BLOCKS) if b[0] == "nb")
+    n_drop = sum(1 for b in list(_ENC_BLOCKS) + list(_DEC_BLOCKS)
+                 if b[0] == "nb")
     rngs = iter(
         jax.random.split(rng, n_drop) if (train and rng is not None) else [None] * n_drop
     )

@@ -264,10 +264,13 @@ def gru(p, x, h0=None):
 # ---------------------------------------------------------------------------
 
 def max_pool2d(x, ksize: int, stride: int, padding: int = 0):
-    """torch MaxPool2d (NHWC): zero-pad excluded via -inf padding."""
-    neg = jnp.asarray(-jnp.inf, dtype=x.dtype) if jnp.issubdtype(
-        x.dtype, jnp.floating
-    ) else jnp.iinfo(x.dtype).min
+    """torch MaxPool2d (NHWC): zero-pad excluded via -inf padding.
+
+    init_value must be a Python scalar so JAX recognizes the (max, -inf)
+    monoid and uses its differentiable reduce-window-max rule.
+    """
+    neg = float("-inf") if jnp.issubdtype(x.dtype, jnp.floating) \
+        else int(jnp.iinfo(x.dtype).min)
     return jax.lax.reduce_window(
         x,
         neg,

@@ -94,3 +94,8 @@ def resnet18_init(key, num_channels: int = 3):
 
 def resnet34_init(key, num_channels: int = 3):
     return resnet_init(key, [3, 4, 6, 3], num_channels)
+
+
+def resnet_small_init(key, num_channels: int = 3):
+    """2-stage variant (reference resnet.py:270-272 `resnet_small`)."""
+    return resnet_init(key, [2, 2], num_channels)

@@ -1,0 +1,173 @@
+"""Training CLIs: the staged pipeline entry points.
+
+Mirrors the reference drivers (lav/train_{bev,seg,bra,full}[_v2].py and
+docs/TRAINING.md:23-77) with the same stage order, defaults (bev bs=512
+(v2 256) x160ep, seg bs=256 x1ep, bra bs=52 x10ep, full bs=32 x64ep,
+lr=3e-4, seed 2021), StepLR schedule, per-epoch checkpoints, and the v2
+other_weight ramp 1 - 0.8^(it/4000) (train_bev_v2.py:36-37).
+
+Usage:
+    python -m lav_tpu.train.cli bev  --config-path config.yaml
+    python -m lav_tpu.train.cli full --config-path config_v2.yaml --v2 \
+        --motion-only
+"""
+
+from __future__ import annotations
+
+import argparse
+import os
+from functools import partial
+
+import numpy as np
+
+import jax
+import optax
+
+from lav_tpu.config import load_config, v1_config, v2_config
+from lav_tpu.data.datasets import get_dataset
+from lav_tpu.data.loader import DataLoader
+from lav_tpu.models.lidar import lidar_model_init
+from lav_tpu.models.planner import bev_planner_init, uniplanner_init
+from lav_tpu.models.rgb import brake_model_init, seg_model_init
+from lav_tpu.parallel import batch_sharding, make_mesh, replicate
+from lav_tpu.train.checkpoints import load_checkpoint, save_checkpoint
+from lav_tpu.train.distill import make_full_train_step
+from lav_tpu.train.privileged import (
+    make_bev_train_step, make_bra_train_step, make_seg_train_step, step_lr,
+)
+from lav_tpu.utils.logging import Logger
+
+
+def _common_args(p: argparse.ArgumentParser):
+    p.add_argument("--config-path", default=None)
+    p.add_argument("--v2", action="store_true")
+    p.add_argument("--lr", type=float, default=3e-4)
+    p.add_argument("--num-epoch", type=int, default=None)
+    p.add_argument("--batch-size", type=int, default=None)
+    p.add_argument("--seed", type=int, default=2021)
+    p.add_argument("--num-per-log", type=int, default=100)
+    p.add_argument("--num-per-save", type=int, default=1)
+    p.add_argument("--save-dir", default="checkpoints")
+    p.add_argument("--log-wandb", action="store_true")
+
+
+def _load_cfg(args):
+    if args.config_path:
+        return load_config(args.config_path)
+    return v2_config() if args.v2 else v1_config()
+
+
+def _other_weight_ramp(it: int, beta: float = 0.8) -> float:
+    return 1.0 - beta ** (it / 4000.0)
+
+
+def _train_loop(stage, cfg, args, params, make_step, dataset, optimizer,
+                defaults, v2_extra_arg=False):
+    bs = args.batch_size or defaults["bs"]
+    epochs = args.num_epoch or defaults["epochs"]
+    mesh = make_mesh()
+    params = replicate(mesh, params)
+    opt_state = replicate(mesh, optimizer.init(params))
+    sharding = batch_sharding(mesh)
+    loader = DataLoader(dataset, bs, shuffle=True, seed=args.seed,
+                        sharding=sharding)
+    step = jax.jit(make_step)
+    logger = Logger(f"lav_{stage}", use_wandb=args.log_wandb,
+                    save_dir=os.path.join(args.save_dir, stage))
+    rng = jax.random.key(args.seed)
+    it = 0
+    for epoch in range(epochs):
+        for batch in loader:
+            rng, sub = jax.random.split(rng)
+            if v2_extra_arg:
+                params, opt_state, m = step(
+                    params, opt_state, batch, sub, _other_weight_ramp(it)
+                )
+            else:
+                params, opt_state, m = step(params, opt_state, batch, sub)
+            if it % args.num_per_log == 0:
+                rec = logger.log(it, {k: v for k, v in m.items()})
+                print(f"[{stage}] epoch {epoch} it {it}: "
+                      f"loss={rec.get('loss', float('nan')):.4f}")
+            it += 1
+        if (epoch + 1) % args.num_per_save == 0:
+            path = os.path.join(logger.save_dir, f"{stage}_{epoch + 1}")
+            save_checkpoint(path, params)
+            print(f"saved {path}")
+    logger.close()
+    return params
+
+
+def main_bev(args):
+    cfg = _load_cfg(args)
+    ds = get_dataset("temporal_bev" if args.v2 else "bev", cfg)
+    params = bev_planner_init(jax.random.key(args.seed), cfg)
+    defaults = dict(bs=256 if args.v2 else 512, epochs=160)
+    steps_per_epoch = max(len(ds) // defaults["bs"], 1)
+    opt = optax.adam(step_lr(args.lr, steps_per_epoch, 32))
+    step = make_bev_train_step(cfg, opt, v2=args.v2)
+    _train_loop("bev", cfg, args, params, step, ds, opt, defaults,
+                v2_extra_arg=True)
+
+
+def main_seg(args):
+    cfg = _load_cfg(args)
+    ds = get_dataset("seg", cfg)
+    params = seg_model_init(jax.random.key(args.seed), len(cfg.seg_channels))
+    opt = optax.adam(args.lr)
+    step = make_seg_train_step(cfg, opt)
+    _train_loop("seg", cfg, args, params, step, ds, opt,
+                dict(bs=256, epochs=1))
+
+
+def main_bra(args):
+    cfg = _load_cfg(args)
+    ds = get_dataset("bra", cfg)
+    params = brake_model_init(jax.random.key(args.seed), 3,
+                              version=2 if args.v2 else 1)
+    opt = optax.adam(args.lr)
+    step = make_bra_train_step(cfg, opt, version=2 if args.v2 else 1)
+    _train_loop("bra", cfg, args, params, step, ds, opt,
+                dict(bs=52, epochs=10))
+
+
+def main_full(args):
+    cfg = _load_cfg(args)
+    name = "temporal_lidar_painted" if args.v2 else "lidar_painted"
+    ds = get_dataset(name, cfg)
+    k1, k2 = jax.random.split(jax.random.key(args.seed))
+    params = {
+        "lidar_model": lidar_model_init(k1, cfg.num_input, cfg.num_features),
+        "uniplanner": uniplanner_init(k2, cfg),
+    }
+    # stage pointers: load teacher / warm-start weights like the reference
+    # (lav_final.py:40-54) — orbax trees or converted torch checkpoints.
+    if cfg.bev_model_dir and os.path.exists(cfg.bev_model_dir):
+        params["uniplanner"]["bev_planner"] = load_checkpoint(
+            cfg.bev_model_dir, params["uniplanner"]["bev_planner"]
+        )
+    mode = ("perceive_only" if args.perceive_only
+            else "motion_only" if args.motion_only else "full")
+    defaults = dict(bs=32, epochs=64)
+    steps_per_epoch = max(len(ds) // defaults["bs"], 1)
+    opt = optax.adam(step_lr(args.lr, steps_per_epoch, 16))
+    step = make_full_train_step(cfg, opt, v2=args.v2, mode=mode)
+    _train_loop("full", cfg, args, params, step, ds, opt, defaults)
+
+
+def main():
+    p = argparse.ArgumentParser(description=__doc__)
+    sub = p.add_subparsers(dest="stage", required=True)
+    for stage in ("bev", "seg", "bra", "full"):
+        sp = sub.add_parser(stage)
+        _common_args(sp)
+        if stage == "full":
+            sp.add_argument("--perceive-only", action="store_true")
+            sp.add_argument("--motion-only", action="store_true")
+    args = p.parse_args()
+    {"bev": main_bev, "seg": main_seg, "bra": main_bra,
+     "full": main_full}[args.stage](args)
+
+
+if __name__ == "__main__":
+    main()
