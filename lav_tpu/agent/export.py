@@ -1,0 +1,60 @@
+"""AOT export of the fused agent step (the TorchScript-trace analog).
+
+The reference ships torch.jit traces for Python-free deployment
+(team_code_v2/model_inference.py:20-32, weights/seg_1.pt etc.).  The
+TPU-native equivalent is `jax.export`: serialize the fully-lowered agent
+step (StableHLO) so a serving runtime can execute it without the model
+code, and reload it for inference.
+
+    from lav_tpu.agent.export import export_agent_step, load_agent_step
+    blob = export_agent_step(cfg, params)            # bytes
+    step = load_agent_step(blob)                     # callable
+"""
+
+from __future__ import annotations
+
+from typing import Callable, Optional
+
+import jax
+import jax.numpy as jnp
+
+from lav_tpu.config import LAVConfig
+from lav_tpu.agent.agent import build_agent
+
+
+def _example_inputs(cfg: LAVConfig, max_points: int, rgb_hw, tel_hw):
+    init_state, step = build_agent(cfg, max_points=max_points, rgb_hw=rgb_hw)
+    state = init_state()
+    P = state.prev_lidar.shape[0]
+    obs = dict(
+        lidar=jnp.zeros((P, 4)),
+        lidar_valid=jnp.zeros((P,), bool),
+        rgbs=jnp.zeros((3, *rgb_hw, 3)),
+        tel_rgb=jnp.zeros((*tel_hw, 3)),
+        gps=jnp.zeros((2,)),
+        compass=jnp.zeros(()),
+        speed=jnp.zeros(()),
+        cmd=jnp.zeros((), jnp.int32),
+        target=jnp.zeros((2,)),
+    )
+    return step, state, obs
+
+
+def export_agent_step(cfg: LAVConfig, params, *, max_points: int = 8192,
+                      rgb_hw=(288, 256), tel_hw=(192, 480)) -> bytes:
+    """Serialize the jitted closed-loop step with params baked in."""
+    from jax import export as jexport
+
+    step, state, obs = _example_inputs(cfg, max_points, rgb_hw, tel_hw)
+
+    def fn(state, obs):
+        return step(params, state, obs)
+
+    exported = jexport.export(jax.jit(fn))(state, obs)
+    return exported.serialize()
+
+
+def load_agent_step(blob: bytes) -> Callable:
+    from jax import export as jexport
+
+    return jexport.deserialize(blob).call

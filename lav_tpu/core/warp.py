@@ -83,6 +83,86 @@ def grid_sample(img, grid):
     return out.astype(img.dtype)
 
 
+def grid_sample_shared(img, grid):
+    """Bilinear-sample ONE source `img` (H, W, C) at many grids
+    (K, Ho, Wo, 2) -> (K, Ho, Wo, C).
+
+    Memory-critical variant of `grid_sample`: gathers directly from the
+    single source instead of broadcasting it K times (tiling a 384-channel
+    BEV feature map per detection was an 8.8 GB HLO temp on v5e).
+    """
+    H, W, C = img.shape
+    K, Ho, Wo, _ = grid.shape
+    ix = (grid[..., 0] + 1.0) * 0.5 * (W - 1)
+    iy = (grid[..., 1] + 1.0) * 0.5 * (H - 1)
+
+    x0 = jnp.floor(ix)
+    y0 = jnp.floor(iy)
+    x1 = x0 + 1.0
+    y1 = y0 + 1.0
+    wx1 = ix - x0
+    wy1 = iy - y0
+    wx0 = 1.0 - wx1
+    wy0 = 1.0 - wy1
+
+    flat = img.reshape(H * W, C)
+
+    def tap(xf, yf, wx, wy):
+        inb = (xf >= 0) & (xf <= W - 1) & (yf >= 0) & (yf <= H - 1)
+        xi = jnp.clip(xf, 0, W - 1).astype(jnp.int32)
+        yi = jnp.clip(yf, 0, H - 1).astype(jnp.int32)
+        vals = jnp.take(flat, (yi * W + xi).reshape(-1), axis=0)
+        return vals.reshape(K, Ho, Wo, C) * ((wx * wy * inb)[..., None])
+
+    out = (
+        tap(x0, y0, wx0, wy0)
+        + tap(x1, y0, wx1, wy0)
+        + tap(x0, y1, wx0, wy1)
+        + tap(x1, y1, wx1, wy1)
+    )
+    return out.astype(img.dtype)
+
+
+def _crop_theta(rel_locs, rel_oris, H, W, pixels_per_meter, crop_size,
+                offset_x, offset_y, dtype):
+    rel = rel_locs.reshape(-1, 2) * pixels_per_meter / jnp.array(
+        [H / 2.0, W / 2.0], dtype=dtype
+    )
+    cos = jnp.cos(rel_oris)
+    sin = jnp.sin(rel_oris)
+    k = crop_size / H
+    rot_x_off = -k * offset_x * cos + k * offset_y * sin + offset_x
+    rot_y_off = -k * offset_x * sin - k * offset_y * cos + offset_y
+    row0 = jnp.stack([k * cos, -k * sin, rot_x_off + rel[..., 0]], axis=-1)
+    row1 = jnp.stack([k * sin, k * cos, rot_y_off + rel[..., 1]], axis=-1)
+    return jnp.stack([row0, row1], axis=-2)  # (K, 2, 3)
+
+
+def crop_feature_shared(
+    features,
+    rel_locs,
+    rel_oris,
+    *,
+    pixels_per_meter: float,
+    crop_size: int,
+    offset_x: float = 0.0,
+    offset_y: float = 0.75,
+):
+    """K rotated crops from ONE feature map.
+
+    features (H, W, C); rel_locs (K, 2) meters; rel_oris (K,) radians
+    -> (K, crop_size, crop_size, C).  Same affine construction as
+    `crop_feature` but without materializing K copies of the source —
+    use this whenever many actors crop the same map (the planners' hot
+    path, reference bev_planner.py:94 / uniplanner.py:77-78).
+    """
+    H, W, _ = features.shape
+    theta = _crop_theta(rel_locs, rel_oris, H, W, pixels_per_meter,
+                        crop_size, offset_x, offset_y, features.dtype)
+    grid = affine_grid(theta, crop_size, crop_size)
+    return grid_sample_shared(features, grid)
+
+
 def crop_feature(
     features,
     rel_locs,
@@ -102,19 +182,7 @@ def crop_feature(
     normalized coords) fixed under the crop.
     """
     B, H, W, _ = features.shape
-    rel = rel_locs.reshape(-1, 2) * pixels_per_meter / jnp.array(
-        [H / 2.0, W / 2.0], dtype=features.dtype
-    )
-    cos = jnp.cos(rel_oris)
-    sin = jnp.sin(rel_oris)
-    k = crop_size / H
-
-    rot_x_off = -k * offset_x * cos + k * offset_y * sin + offset_x
-    rot_y_off = -k * offset_x * sin - k * offset_y * cos + offset_y
-
-    row0 = jnp.stack([k * cos, -k * sin, rot_x_off + rel[..., 0]], axis=-1)
-    row1 = jnp.stack([k * sin, k * cos, rot_y_off + rel[..., 1]], axis=-1)
-    theta = jnp.stack([row0, row1], axis=-2)  # (B, 2, 3)
-
+    theta = _crop_theta(rel_locs, rel_oris, H, W, pixels_per_meter,
+                        crop_size, offset_x, offset_y, features.dtype)
     grid = affine_grid(theta, crop_size, crop_size)
     return grid_sample(features, grid)

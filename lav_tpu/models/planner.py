@@ -31,7 +31,7 @@ import jax.numpy as jnp
 
 from lav_tpu.config import LAVConfig
 from lav_tpu.core.geometry import transform_points
-from lav_tpu.core.warp import crop_feature
+from lav_tpu.core.warp import crop_feature, crop_feature_shared
 from lav_tpu.nn import layers as L
 from lav_tpu.nn.resnet import resnet18_init, resnet_apply
 
@@ -208,18 +208,17 @@ def bev_planner_forward(params, cfg: LAVConfig, bev, ego_locs, locs, oris,
         loc_jit = jnp.zeros((B, K, 2))
         ori_jit = jnp.zeros((B, K))
 
-    # crop every selected car's rotated BEV neighborhood (one fused batch)
-    flat_bev = jnp.broadcast_to(
-        bev[:, None], (B, K) + bev.shape[1:]
-    ).reshape((B * K,) + bev.shape[1:])
-    crop_other = crop_feature(
-        flat_bev,
-        (rel_loc0 + loc_jit).reshape(B * K, 2),
-        (rel_ori0 + ori_jit).reshape(B * K),
-        pixels_per_meter=cfg.pixels_per_meter,
-        crop_size=cfg.crop_size * 2,
-        offset_y=cfg.y_offset,
-    )
+    # crop every selected car's rotated BEV neighborhood — shared-source
+    # gather (K crops per item from ONE map; never tile the map K times)
+    crop_other = jax.vmap(
+        lambda f, l, o: crop_feature_shared(
+            f, l, o,
+            pixels_per_meter=cfg.pixels_per_meter,
+            crop_size=cfg.crop_size * 2,
+            offset_y=cfg.y_offset,
+        )
+    )(bev, rel_loc0 + loc_jit, rel_ori0 + ori_jit)
+    crop_other = crop_other.reshape((B * K,) + crop_other.shape[2:])
     other_locs = transform_points(fut - loc_jit[:, :, None], -rel_ori0 - ori_jit)
 
     other_embd, st_other = _conv_emb(params["bev_conv_emb"], crop_other, train)
@@ -337,26 +336,19 @@ def uniplanner_forward(params, cfg: LAVConfig, features, bev, ego_locs, locs,
         loc_jit = jnp.zeros((B, K, 2))
         ori_jit = jnp.zeros((B, K))
 
-    def tile(t):
-        return jnp.broadcast_to(t[:, None], (B, K) + t.shape[1:]).reshape(
-            (B * K,) + t.shape[1:]
-        )
+    def multi_crop(src, ppm, crop):
+        out = jax.vmap(
+            lambda f, l, o: crop_feature_shared(
+                f, l, o, pixels_per_meter=ppm, crop_size=crop,
+                offset_y=cfg.y_offset,
+            )
+        )(src, rel_loc0 + loc_jit, rel_ori0 + ori_jit)
+        return out.reshape((B * K,) + out.shape[2:])
 
-    flat_rl = (rel_loc0 + loc_jit).reshape(B * K, 2)
-    flat_ro = (rel_ori0 + ori_jit).reshape(B * K)
-
-    crop_other_feat = crop_feature(
-        tile(features), flat_rl, flat_ro,
-        pixels_per_meter=cfg.pixels_per_meter / 2,
-        crop_size=cfg.crop_size,
-        offset_y=cfg.y_offset,
-    )
-    crop_other_bev = crop_feature(
-        tile(bev), flat_rl, flat_ro,
-        pixels_per_meter=cfg.pixels_per_meter,
-        crop_size=cfg.crop_size * 2,
-        offset_y=cfg.y_offset,
-    )
+    crop_other_feat = multi_crop(features, cfg.pixels_per_meter / 2,
+                                 cfg.crop_size)
+    crop_other_bev = multi_crop(bev, cfg.pixels_per_meter,
+                                cfg.crop_size * 2)
 
     other_locs = transform_points(fut - loc_jit[:, :, None], -rel_ori0 - ori_jit)
 
@@ -459,9 +451,8 @@ def uniplanner_infer(params, cfg: LAVConfig, features, det, cmd, nxp):
     ooris = jnp.arctan2(det["sin"], det["cos"])
     K = olocs.shape[0]
 
-    feats_b = jnp.broadcast_to(features[None], (K,) + features.shape)
-    crop_other = crop_feature(
-        feats_b, olocs, ooris,
+    crop_other = crop_feature_shared(
+        features, olocs, ooris,
         pixels_per_meter=ppm / 2, crop_size=cfg.crop_size,
         offset_y=cfg.y_offset,
     )

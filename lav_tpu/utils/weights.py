@@ -255,6 +255,96 @@ def convert_uniplanner(sd: SD, num_cmds: int = 6,
     return p
 
 
+# ---------------------------------------------------------------------------
+# inverse direction: lav_tpu params -> reference-format state dicts
+# (lets models trained here drop into the reference's torch stack)
+# ---------------------------------------------------------------------------
+
+def _inv_conv(sd: SD, name: str, p):
+    sd[f"{name}.weight"] = np.asarray(p["w"]).transpose(3, 2, 0, 1)
+    if "b" in p:
+        sd[f"{name}.bias"] = np.asarray(p["b"])
+
+
+def _inv_convT(sd: SD, name: str, p):
+    sd[f"{name}.weight"] = np.asarray(p["w"]).transpose(2, 3, 0, 1)
+    if "b" in p:
+        sd[f"{name}.bias"] = np.asarray(p["b"])
+
+
+def _inv_bn(sd: SD, name: str, p):
+    sd[f"{name}.weight"] = np.asarray(p["scale"])
+    sd[f"{name}.bias"] = np.asarray(p["bias"])
+    sd[f"{name}.running_mean"] = np.asarray(p["mean"])
+    sd[f"{name}.running_var"] = np.asarray(p["var"])
+
+
+def _inv_linear(sd: SD, name: str, p):
+    sd[f"{name}.weight"] = np.asarray(p["w"]).T
+    if "b" in p:
+        sd[f"{name}.bias"] = np.asarray(p["b"])
+
+
+def _inv_gru(sd: SD, name: str, p, idx=None):
+    sel = (lambda x: np.asarray(x)[idx]) if idx is not None else np.asarray
+    sd[f"{name}.weight_ih_l0"] = sel(p["w_ih"]).T
+    sd[f"{name}.weight_hh_l0"] = sel(p["w_hh"]).T
+    sd[f"{name}.bias_ih_l0"] = sel(p["b_ih"])
+    sd[f"{name}.bias_hh_l0"] = sel(p["b_hh"])
+
+
+def export_resnet(sd: SD, prefix: str, p,
+                  layers_cfg: Sequence[int] = (2, 2, 2, 2)):
+    _inv_conv(sd, f"{prefix}conv1", p["conv1"])
+    _inv_bn(sd, f"{prefix}bn1", p["bn1"])
+    for stage, blocks in enumerate(layers_cfg):
+        for b in range(blocks):
+            blk = p[f"layer{stage + 1}_{b}"]
+            t = f"{prefix}layer{stage + 1}.{b}"
+            _inv_conv(sd, f"{t}.conv1", blk["conv1"])
+            _inv_bn(sd, f"{t}.bn1", blk["bn1"])
+            _inv_conv(sd, f"{t}.conv2", blk["conv2"])
+            _inv_bn(sd, f"{t}.bn2", blk["bn2"])
+            if "down_conv" in blk:
+                _inv_conv(sd, f"{t}.downsample.0", blk["down_conv"])
+                _inv_bn(sd, f"{t}.downsample.1", blk["down_bn"])
+    return sd
+
+
+def _export_planner_core(sd: SD, prefix: str, p, num_cmds: int,
+                         ego_suffix: str = ""):
+    _inv_gru(sd, f"{prefix}plan_gru", p["plan_gru"])
+    _inv_linear(sd, f"{prefix}plan_mlp", p["plan_mlp"])
+    for i in range(num_cmds):
+        _inv_gru(sd, f"{prefix}cast_grus{ego_suffix}.{i}", p["cast_grus"], i)
+        m = {k: np.asarray(v)[i] for k, v in p["cast_mlps"].items()}
+        _inv_linear(sd, f"{prefix}cast_mlps{ego_suffix}.{i}", m)
+    _inv_linear(sd, f"{prefix}cast_cmd_pred.0", p["cast_cmd_pred"])
+    if "cast_grus_other" in p:
+        for i in range(num_cmds):
+            _inv_gru(sd, f"{prefix}cast_grus_other.{i}", p["cast_grus_other"], i)
+            m = {k: np.asarray(v)[i] for k, v in p["cast_mlps_other"].items()}
+            _inv_linear(sd, f"{prefix}cast_mlps_other.{i}", m)
+    return sd
+
+
+def export_bev_planner(p, num_cmds: int = 6) -> SD:
+    sd: SD = {}
+    export_resnet(sd, "bev_conv_emb.0.", p["bev_conv_emb"])
+    return _export_planner_core(sd, "", p, num_cmds)
+
+
+def export_uniplanner(p, num_cmds: int = 6) -> SD:
+    sd: SD = {}
+    export_resnet(sd, "lidar_conv_emb.0.", p["lidar_conv_emb"])
+    _export_planner_core(sd, "", p, num_cmds, ego_suffix="_ego")
+    if "bev_planner" in p:
+        export_resnet(sd, "bev_planner.bev_conv_emb.0.",
+                      p["bev_planner"]["bev_conv_emb"])
+        _export_planner_core(sd, "bev_planner.", p["bev_planner"], num_cmds)
+    return sd
+
+
 def load_torch_state_dict(path: str) -> SD:
     """Load a reference .th checkpoint into numpy arrays (requires torch)."""
     import torch

@@ -88,6 +88,24 @@ def test_crop_feature_matches_torch_pipeline(rng):
     np.testing.assert_allclose(ours, ref, atol=1e-5)
 
 
+def test_crop_feature_shared_matches_tiled(rng):
+    """The memory-safe shared-source multi-crop must equal the naive
+    tile-then-crop path bit for bit."""
+    from lav_tpu.core.warp import crop_feature_shared
+
+    H, W, C, K = 24, 24, 6, 5
+    feats = jnp.asarray(rng.normal(size=(H, W, C)).astype(np.float32))
+    locs = jnp.asarray(rng.uniform(-3, 3, size=(K, 2)).astype(np.float32))
+    oris = jnp.asarray(rng.uniform(-2, 2, size=(K,)).astype(np.float32))
+    kw = dict(pixels_per_meter=4.0, crop_size=12, offset_y=0.75)
+
+    shared = crop_feature_shared(feats, locs, oris, **kw)
+    tiled = crop_feature(
+        jnp.broadcast_to(feats[None], (K, H, W, C)), locs, oris, **kw
+    )
+    np.testing.assert_allclose(np.asarray(shared), np.asarray(tiled), atol=1e-6)
+
+
 def test_grid_sample_gradients_flow(rng):
     import jax
 
