@@ -133,10 +133,13 @@ class BEVDataset(BaseDataset):
 
         cmd, bra, nxp = self._plan_targets(ep, index)
         shift = np.array([offset / cfg.pixels_per_meter, 0.0])
-        center = ego_locs[0]
-        ego_locs = rotate_points_np(ego_locs, -angle, center) + shift
-        nxp = rotate_points_np(nxp, -angle, center) + shift
-        locs = rotate_points_np(locs, -angle, center) + shift
+        # reference quirk (bev_dataset.py:46-55): ego rotates about the OLD
+        # center; nxp/locs rotate about the ALREADY-SHIFTED ego center
+        old_center = ego_locs[0].copy()
+        ego_locs = rotate_points_np(ego_locs, -angle, old_center) + shift
+        new_center = ego_locs[0]
+        nxp = rotate_points_np(nxp, -angle, new_center) + shift
+        locs = rotate_points_np(locs, -angle, new_center) + shift
         oris[1:] -= math.radians(angle)
 
         p_locs, p_oris, p_typs, _ = self._pad_objs(locs, oris, typs)
@@ -208,11 +211,13 @@ class TemporalBEVDataset(BEVDataset):
 
         cmd, bra, nxp = self._plan_targets(ep, index)
         shift = np.array([offset / cfg.pixels_per_meter, 0.0])
-        center = ego_locs[0]
-        locs = rotate_points_np(locs, -angle, center) + shift
+        # reference order (temporal_bev_dataset.py:72-78): locs about the
+        # OLD center, then ego, then nxp about the SHIFTED center
+        old_center = ego_locs[0].copy()
+        locs = rotate_points_np(locs, -angle, old_center) + shift
         oris[1:] -= math.radians(angle)
-        ego_locs = rotate_points_np(ego_locs, -angle, center) + shift
-        nxp = rotate_points_np(nxp, -angle, center) + shift
+        ego_locs = rotate_points_np(ego_locs, -angle, old_center) + shift
+        nxp = rotate_points_np(nxp, -angle, ego_locs[0]) + shift
 
         p_locs, p_oris, p_typs, _ = self._pad_objs(locs, oris, typs)
         return dict(

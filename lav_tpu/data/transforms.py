@@ -128,18 +128,23 @@ def detections_to_heatmap_np(locs, oris, bbox, typs, *, h: int, w: int,
     orimap = np.zeros((2, h, w), np.float32)
     ppm = pixels_per_meter
 
-    xs = np.arange(w, dtype=np.float64)
-    ys = np.arange(h, dtype=np.float64)
+    # float32 on purpose: the reference computes the gaussians in f32
+    # (torch default) and the far-field UNDERFLOW to exact zero defines the
+    # write mask (`gaussian > heatmap.max(0)`); f64 would fill the whole map
+    xs = np.arange(w, dtype=np.float32)
+    ys = np.arange(h, dtype=np.float32)
 
     for cls in (0, 1):
         sel = typs == cls
         if not sel.any():
             continue
         loc, ori, box = locs[sel], oris[sel], bbox[sel]
-        cx = -loc[:, 0] * ppm + (max_y - min_y) * ppm / 2.0
-        cy = -loc[:, 1] * ppm + h + min_x * ppm
-        gx = np.exp(-(((xs[:, None] - cx[None]) / radius) ** 2))  # (w, N)
-        gy = np.exp(-(((ys[:, None] - cy[None]) / radius) ** 2))  # (h, N)
+        cx = (-loc[:, 0] * ppm + (max_y - min_y) * ppm / 2.0).astype(np.float32)
+        cy = (-loc[:, 1] * ppm + h + min_x * ppm).astype(np.float32)
+        gx = np.exp(-(((xs[:, None] - cx[None]) / radius) ** 2),
+                    dtype=np.float32)                             # (w, N)
+        gy = np.exp(-(((ys[:, None] - cy[None]) / radius) ** 2),
+                    dtype=np.float32)                             # (h, N)
         g = gx[None] * gy[:, None]                                # (h, w, N)
         gaussian = g.max(-1)
         obj = g.argmax(-1)
