@@ -27,9 +27,14 @@ BASELINE_STEPS_PER_SEC = 500.0
 
 def main():
     sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+    import jax.numpy as jnp
+
     from __graft_entry__ import _v2_agent_setup
 
-    step, params, state0, obs0 = _v2_agent_setup(max_points=MAX_POINTS)
+    dtype = None if os.environ.get("BENCH_F32") else jnp.bfloat16
+    step, params, state0, obs0 = _v2_agent_setup(
+        max_points=MAX_POINTS, compute_dtype=dtype
+    )
 
     # batch the whole agent over an ego axis
     states = jax.tree.map(lambda x: jnp.stack([x] * NUM_EGO), state0)
@@ -42,10 +47,22 @@ def main():
         ctrl, new_states, _ = vstep(params, states, obs)
         return ctrl, new_states
 
-    # warmup/compile
+    def log(msg):
+        print(f"[bench +{time.perf_counter() - t_start:.1f}s] {msg}",
+              file=sys.stderr, flush=True)
+
+    t_start = time.perf_counter()
+    lowered = tick.lower(params, states, obs)
+    log("traced/lowered")
+    compiled = lowered.compile()
+    log("compiled")
+
+    # warmup
     for _ in range(WARMUP):
-        ctrl, states = tick(params, states, obs)
+        ctrl, states = compiled(params, states, obs)
     jax.block_until_ready(ctrl)
+    log("warmed up")
+    tick = compiled
 
     t0 = time.perf_counter()
     for _ in range(ITERS):

@@ -74,10 +74,15 @@ def _per_cmd(val, num_cmds: int):
 
 
 def build_agent(cfg: LAVConfig, *, max_points: int = 0,
-                camera_yaws=(-60, 0, 60), rgb_hw=(288, 256), cam_fov=64):
+                camera_yaws=(-60, 0, 60), rgb_hw=(288, 256), cam_fov=64,
+                compute_dtype=None):
     """Returns (init_state, step) for the fused agent.
 
     max_points: raw per-sweep point capacity (default: cfg-derived).
+    compute_dtype: optional dtype (e.g. jnp.bfloat16) for the heavy conv
+    paths (segmentation, brake, pillars/backbone, planner crops+resnet);
+    geometry, EKF, PID, GRU rollouts and control stay f32.  Default f32
+    for exact reference parity.
     step(params, state, obs) -> (Control, AgentState, aux dict); params is
     {'lidar_model', 'uniplanner', 'seg_model', 'bra_model'}.
     obs per tick:
@@ -86,6 +91,7 @@ def build_agent(cfg: LAVConfig, *, max_points: int = 0,
       gps (2,) lat/lon, compass () rad, speed () m/s
       cmd () int32 model command, target (2,) world-frame vector to goal
     """
+    cdt = compute_dtype or jnp.float32
     num_stack = cfg.num_frame_stack + 1
     num_keep = num_stack * GAP if cfg.num_frame_stack > 0 else 1
     P = max_points or (cfg.max_lidar_points // max(num_stack, 2))
@@ -187,8 +193,10 @@ def build_agent(cfg: LAVConfig, *, max_points: int = 0,
             [raw_valid, state.prev_valid & _ego_hull_mask(state.prev_lidar)], 0
         )
 
-        seg_logits, _ = seg_model_apply(params["seg_model"], obs["rgbs"], False)
-        sem_prob = jax.nn.softmax(seg_logits, axis=-1)
+        seg_logits, _ = seg_model_apply(
+            params["seg_model"], obs["rgbs"].astype(cdt), False
+        )
+        sem_prob = jax.nn.softmax(seg_logits.astype(jnp.float32), axis=-1)
         pred_sem = sem_prob[..., 1:] * (1.0 - sem_prob[..., :1])  # (cams,H,W,n_sem)
         painted = point_painting(fused[:, :3], pred_sem, rigs, valid=fused_valid)
         fused_painted = jnp.concatenate([fused, painted], axis=-1)    # (Pb, Df)
@@ -245,18 +253,23 @@ def build_agent(cfg: LAVConfig, *, max_points: int = 0,
         ncams = obs["rgbs"].shape[0]
         wide = jnp.concatenate([obs["rgbs"][i] for i in range(ncams)], axis=1)
         pred_bra, _ = brake_model_apply(
-            params["bra_model"], wide[None], obs["tel_rgb"][None], False,
+            params["bra_model"], wide[None].astype(cdt),
+            obs["tel_rgb"][None].astype(cdt), False,
             version=2 if cfg.num_frame_stack > 0 else 1,
         )
-        pred_bra = pred_bra[0]
+        pred_bra = pred_bra[0].astype(jnp.float32)
 
         # ---- perception + planning ----------------------------------------
         feats, hm, size, orim, bev, _ = lidar_model_apply(
-            params["lidar_model"], stacked[None], stacked_valid[None],
+            params["lidar_model"], stacked[None].astype(cdt),
+            stacked_valid[None],
             min_x=cfg.min_x, max_x=cfg.max_x, min_y=cfg.min_y, max_y=cfg.max_y,
             pixels_per_meter=cfg.pixels_per_meter,
             num_features=cfg.num_features, train=False,
         )
+        hm = hm.astype(jnp.float32)
+        size = size.astype(jnp.float32)
+        orim = orim.astype(jnp.float32)
         H, W = cfg.ny, cfg.nx
         ego_px = jnp.array([W / 2.0, H / 2.0 + cfg.y_offset * H / 2.0])
         dets = det_inference(

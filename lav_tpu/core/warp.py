@@ -24,20 +24,21 @@ def affine_grid(theta, out_h: int, out_w: int):
     grid[..., 0] = x_s, grid[..., 1] = y_s.  align_corners=True: the
     normalized coords of pixel centers span exactly [-1, 1].
     """
-    xs = jnp.linspace(-1.0, 1.0, out_w)
-    ys = jnp.linspace(-1.0, 1.0, out_h)
+    # grids are always f32: sampling POSITIONS are parity-critical even
+    # when feature values run bf16 (bf16 would quantize positions ~0.4 px)
+    xs = jnp.linspace(-1.0, 1.0, out_w, dtype=jnp.float32)
+    ys = jnp.linspace(-1.0, 1.0, out_h, dtype=jnp.float32)
     base = jnp.stack(
         [
             jnp.tile(xs[None, :], (out_h, 1)),
             jnp.tile(ys[:, None], (1, out_w)),
-            jnp.ones((out_h, out_w)),
+            jnp.ones((out_h, out_w), jnp.float32),
         ],
         axis=-1,
     )  # (H, W, 3)
-    # (B, H, W, 2) = (H, W, 3) @ (B, 3, 2); full precision — grid coords are
-    # parity-critical and this op is negligible compute.
     return jnp.einsum(
-        "hwk,bjk->bhwj", base, theta, precision=jax.lax.Precision.HIGHEST
+        "hwk,bjk->bhwj", base, theta.astype(jnp.float32),
+        precision=jax.lax.Precision.HIGHEST,
     )
 
 
@@ -71,8 +72,8 @@ def grid_sample(img, grid):
             (yi * W + xi).reshape(B, -1, 1),
             axis=1,
         ).reshape(*xi.shape, C)
-        w = (wx * wy * inb)[..., None]
-        return vals * w
+        w = (wx * wy * inb).astype(img.dtype)
+        return vals * w[..., None]
 
     out = (
         tap(x0, y0, wx0, wy0)
@@ -112,7 +113,8 @@ def grid_sample_shared(img, grid):
         xi = jnp.clip(xf, 0, W - 1).astype(jnp.int32)
         yi = jnp.clip(yf, 0, H - 1).astype(jnp.int32)
         vals = jnp.take(flat, (yi * W + xi).reshape(-1), axis=0)
-        return vals.reshape(K, Ho, Wo, C) * ((wx * wy * inb)[..., None])
+        w = (wx * wy * inb).astype(img.dtype)
+        return vals.reshape(K, Ho, Wo, C) * w[..., None]
 
     out = (
         tap(x0, y0, wx0, wy0)
@@ -124,12 +126,12 @@ def grid_sample_shared(img, grid):
 
 
 def _crop_theta(rel_locs, rel_oris, H, W, pixels_per_meter, crop_size,
-                offset_x, offset_y, dtype):
-    rel = rel_locs.reshape(-1, 2) * pixels_per_meter / jnp.array(
-        [H / 2.0, W / 2.0], dtype=dtype
-    )
-    cos = jnp.cos(rel_oris)
-    sin = jnp.sin(rel_oris)
+                offset_x, offset_y, dtype=jnp.float32):
+    del dtype  # thetas are always f32 (see affine_grid)
+    rel = rel_locs.reshape(-1, 2).astype(jnp.float32) * pixels_per_meter / \
+        jnp.array([H / 2.0, W / 2.0], jnp.float32)
+    cos = jnp.cos(rel_oris.astype(jnp.float32))
+    sin = jnp.sin(rel_oris.astype(jnp.float32))
     k = crop_size / H
     rot_x_off = -k * offset_x * cos + k * offset_y * sin + offset_x
     rot_y_off = -k * offset_x * sin - k * offset_y * cos + offset_y

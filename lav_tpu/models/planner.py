@@ -167,7 +167,9 @@ def bev_planner_init(key, cfg: LAVConfig):
 
 def _conv_emb(resnet_params, x, train: bool):
     feats, state = resnet_apply(resnet_params, x, train)
-    return feats.mean(axis=(1, 2)), state
+    # embeddings feed the GRU rollouts, which stay f32 even when the conv
+    # path runs bf16 (cumulative-sum waypoint decoding is precision-bound)
+    return feats.mean(axis=(1, 2)).astype(jnp.float32), state
 
 
 def _jitter(rng, shape_k, feature_x_jitter, feature_angle_jitter_rad):
@@ -426,6 +428,14 @@ def uniplanner_forward(params, cfg: LAVConfig, features, bev, ego_locs, locs,
     return out, {"lidar_conv_emb": st_ego}
 
 
+def _det_chunk(K: int) -> int:
+    """Largest divisor of K that is <= 5 (bounds live crop memory)."""
+    for c in (5, 4, 3, 2, 1):
+        if K % c == 0:
+            return c
+    return 1
+
+
 def uniplanner_infer(params, cfg: LAVConfig, features, det, cmd, nxp):
     """Fused inference for the agent (reference uniplanner.infer, :160-224,
     and the torchscript uniplanner_infer, model_inference.py:123-187) with
@@ -451,12 +461,26 @@ def uniplanner_infer(params, cfg: LAVConfig, features, det, cmd, nxp):
     ooris = jnp.arctan2(det["sin"], det["cos"])
     K = olocs.shape[0]
 
-    crop_other = crop_feature_shared(
-        features, olocs, ooris,
-        pixels_per_meter=ppm / 2, crop_size=cfg.crop_size,
-        offset_y=cfg.y_offset,
-    )
-    other_embd, _ = _conv_emb(params["lidar_conv_emb"], crop_other, False)
+    # chunked crop+embed: materializing all K 384-channel crops at once
+    # costs ~K * 13 MB * 4 gather taps live (3.16 GB x 5 at 16 vmapped egos
+    # on v5e) — lax.map over chunks bounds the peak while keeping the MXU
+    # batch reasonable
+    chunk = _det_chunk(K)
+
+    def embed_chunk(args):
+        l, o = args
+        crop = crop_feature_shared(
+            features, l, o,
+            pixels_per_meter=ppm / 2, crop_size=cfg.crop_size,
+            offset_y=cfg.y_offset,
+        )
+        emb, _ = _conv_emb(params["lidar_conv_emb"], crop, False)
+        return emb
+
+    other_embd = jax.lax.map(
+        embed_chunk,
+        (olocs.reshape(-1, chunk, 2), ooris.reshape(-1, chunk)),
+    ).reshape(K, EMBD)
     other_cast_locs = cast(params, other_embd, cfg.num_plan)  # ego bank (quirk)
     other_cast_cmds = cast_cmd_pred(params, other_embd)
     # rotate each car's forecast back into the ego frame

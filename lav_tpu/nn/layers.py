@@ -54,9 +54,9 @@ def linear_init(key, in_features: int, out_features: int, bias: bool = True):
 
 
 def linear(p, x):
-    y = x @ p["w"]
+    y = x @ p["w"].astype(x.dtype)
     if "b" in p:
-        y = y + p["b"]
+        y = y + p["b"].astype(x.dtype)
     return y
 
 

@@ -35,6 +35,21 @@ def save_checkpoint(path: str, tree: Any):
                  **{f"leaf_{i}": np.asarray(x) for i, x in enumerate(flat)})
 
 
+def load_params(path: str, like_params: Any):
+    """Stage-pointer loading: accept either a full training snapshot
+    ({'params', 'opt_state', 'epoch', 'it'}) or bare params."""
+    import numpy as np
+
+    try:
+        snap = load_checkpoint(path, dict(
+            params=like_params, opt_state=None,
+            epoch=np.int64(0), it=np.int64(0),
+        ))
+        return snap["params"]
+    except Exception:
+        return load_checkpoint(path, like_params)
+
+
 def load_checkpoint(path: str, like: Any):
     """Restore a pytree with the structure/shapes of `like`."""
     path = os.path.abspath(path)

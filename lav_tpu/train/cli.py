@@ -49,6 +49,9 @@ def _common_args(p: argparse.ArgumentParser):
     p.add_argument("--num-per-save", type=int, default=1)
     p.add_argument("--save-dir", default="checkpoints")
     p.add_argument("--log-wandb", action="store_true")
+    p.add_argument("--resume", default=None,
+                   help="checkpoint path for exact resume (params + "
+                        "optimizer state + epoch/iteration)")
 
 
 def _load_cfg(args):
@@ -68,6 +71,20 @@ def _train_loop(stage, cfg, args, params, make_step, dataset, optimizer,
     mesh = make_mesh()
     params = replicate(mesh, params)
     opt_state = replicate(mesh, optimizer.init(params))
+    start_epoch, it = 0, 0
+
+    # exact resume (params + optimizer state + position) — an upgrade over
+    # the reference's weights-only torch.save (SURVEY.md §5)
+    if getattr(args, "resume", None):
+        snap = load_checkpoint(
+            args.resume,
+            dict(params=params, opt_state=opt_state,
+                 epoch=np.int64(0), it=np.int64(0)),
+        )
+        params, opt_state = snap["params"], snap["opt_state"]
+        start_epoch, it = int(snap["epoch"]), int(snap["it"])
+        print(f"resumed from {args.resume} at epoch {start_epoch}, it {it}")
+
     sharding = batch_sharding(mesh)
     loader = DataLoader(dataset, bs, shuffle=True, seed=args.seed,
                         sharding=sharding)
@@ -75,8 +92,7 @@ def _train_loop(stage, cfg, args, params, make_step, dataset, optimizer,
     logger = Logger(f"lav_{stage}", use_wandb=args.log_wandb,
                     save_dir=os.path.join(args.save_dir, stage))
     rng = jax.random.key(args.seed)
-    it = 0
-    for epoch in range(epochs):
+    for epoch in range(start_epoch, epochs):
         for batch in loader:
             rng, sub = jax.random.split(rng)
             if v2_extra_arg:
@@ -92,7 +108,10 @@ def _train_loop(stage, cfg, args, params, make_step, dataset, optimizer,
             it += 1
         if (epoch + 1) % args.num_per_save == 0:
             path = os.path.join(logger.save_dir, f"{stage}_{epoch + 1}")
-            save_checkpoint(path, params)
+            save_checkpoint(path, dict(
+                params=params, opt_state=opt_state,
+                epoch=np.int64(epoch + 1), it=np.int64(it),
+            ))
             print(f"saved {path}")
     logger.close()
     return params
@@ -143,7 +162,9 @@ def main_full(args):
     # stage pointers: load teacher / warm-start weights like the reference
     # (lav_final.py:40-54) — orbax trees or converted torch checkpoints.
     if cfg.bev_model_dir and os.path.exists(cfg.bev_model_dir):
-        params["uniplanner"]["bev_planner"] = load_checkpoint(
+        from lav_tpu.train.checkpoints import load_params
+
+        params["uniplanner"]["bev_planner"] = load_params(
             cfg.bev_model_dir, params["uniplanner"]["bev_planner"]
         )
     mode = ("perceive_only" if args.perceive_only
