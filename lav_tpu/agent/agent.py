@@ -75,7 +75,7 @@ def _per_cmd(val, num_cmds: int):
 
 def build_agent(cfg: LAVConfig, *, max_points: int = 0,
                 camera_yaws=(-60, 0, 60), rgb_hw=(288, 256), cam_fov=64,
-                compute_dtype=None):
+                compute_dtype=None, skip=()):
     """Returns (init_state, step) for the fused agent.
 
     max_points: raw per-sweep point capacity (default: cfg-derived).
@@ -83,6 +83,10 @@ def build_agent(cfg: LAVConfig, *, max_points: int = 0,
     paths (segmentation, brake, pillars/backbone, planner crops+resnet);
     geometry, EKF, PID, GRU rollouts and control stay f32.  Default f32
     for exact reference parity.
+    skip: diagnostic-only set of stage names ('seg', 'paint', 'brake',
+    'lidar', 'planner', 'stack') replaced by cheap dummies — for isolating
+    per-stage cost inside the COMPILED full graph (scheduling differs from
+    stages timed standalone).  Never use in deployment.
     step(params, state, obs) -> (Control, AgentState, aux dict); params is
     {'lidar_model', 'uniplanner', 'seg_model', 'bra_model'}.
     obs per tick:
@@ -193,12 +197,20 @@ def build_agent(cfg: LAVConfig, *, max_points: int = 0,
             [raw_valid, state.prev_valid & _ego_hull_mask(state.prev_lidar)], 0
         )
 
-        seg_logits, _ = seg_model_apply(
-            params["seg_model"], obs["rgbs"].astype(cdt), False
-        )
-        sem_prob = jax.nn.softmax(seg_logits.astype(jnp.float32), axis=-1)
-        pred_sem = sem_prob[..., 1:] * (1.0 - sem_prob[..., :1])  # (cams,H,W,n_sem)
-        painted = point_painting(fused[:, :3], pred_sem, rigs, valid=fused_valid)
+        if "seg" in skip:
+            pred_sem = jnp.zeros((len(camera_yaws), *rgb_hw, n_sem))
+        else:
+            seg_logits, _ = seg_model_apply(
+                params["seg_model"], obs["rgbs"].astype(cdt), False
+            )
+            sem_prob = jax.nn.softmax(seg_logits.astype(jnp.float32), axis=-1)
+            pred_sem = sem_prob[..., 1:] * (1.0 - sem_prob[..., :1])
+        if "paint" in skip:
+            painted = jnp.zeros((Pb, n_sem))
+        else:
+            painted = point_painting(
+                fused[:, :3], pred_sem, rigs, valid=fused_valid
+            )
         fused_painted = jnp.concatenate([fused, painted], axis=-1)    # (Pb, Df)
 
         # ---- ring buffer push (skipped on the very first frame, matching
@@ -227,7 +239,12 @@ def build_agent(cfg: LAVConfig, *, max_points: int = 0,
             locs_buf=locs_buf, oris_buf=oris_buf,
             buf_ptr=new_ptr, buf_count=new_count,
         )
-        stacked, stacked_valid = _stacked_lidar(tmp_state, loc, ori)
+        if "stack" in skip:
+            D_st = Df + (num_stack if cfg.num_frame_stack > 0 else 0)
+            stacked = jnp.zeros((Pb * num_stack, D_st))
+            stacked_valid = jnp.ones((Pb * num_stack,), bool)
+        else:
+            stacked, stacked_valid = _stacked_lidar(tmp_state, loc, ori)
 
         # ---- command + lane-change suppression ----------------------------
         cmd = obs["cmd"].astype(jnp.int32)
@@ -250,26 +267,41 @@ def build_agent(cfg: LAVConfig, *, max_points: int = 0,
         nxp = jnp.stack([-tx, -ty])
 
         # ---- brake net -----------------------------------------------------
-        ncams = obs["rgbs"].shape[0]
-        wide = jnp.concatenate([obs["rgbs"][i] for i in range(ncams)], axis=1)
-        pred_bra, _ = brake_model_apply(
-            params["bra_model"], wide[None].astype(cdt),
-            obs["tel_rgb"][None].astype(cdt), False,
-            version=2 if cfg.num_frame_stack > 0 else 1,
-        )
-        pred_bra = pred_bra[0].astype(jnp.float32)
+        if "brake" in skip:
+            pred_bra = jnp.zeros(())
+        else:
+            ncams = obs["rgbs"].shape[0]
+            wide = jnp.concatenate(
+                [obs["rgbs"][i] for i in range(ncams)], axis=1
+            )
+            pred_bra, _ = brake_model_apply(
+                params["bra_model"], wide[None].astype(cdt),
+                obs["tel_rgb"][None].astype(cdt), False,
+                version=2 if cfg.num_frame_stack > 0 else 1,
+            )
+            pred_bra = pred_bra[0].astype(jnp.float32)
 
         # ---- perception + planning ----------------------------------------
-        feats, hm, size, orim, bev, _ = lidar_model_apply(
-            params["lidar_model"], stacked[None].astype(cdt),
-            stacked_valid[None],
-            min_x=cfg.min_x, max_x=cfg.max_x, min_y=cfg.min_y, max_y=cfg.max_y,
-            pixels_per_meter=cfg.pixels_per_meter,
-            num_features=cfg.num_features, train=False,
-        )
-        hm = hm.astype(jnp.float32)
-        size = size.astype(jnp.float32)
-        orim = orim.astype(jnp.float32)
+        if "lidar" in skip:
+            feats = jnp.zeros(
+                (1, cfg.ny // 2, cfg.nx // 2, 6 * cfg.num_features[-1]), cdt
+            )
+            hm = jnp.zeros((1, 2, cfg.ny, cfg.nx))
+            size = jnp.ones((1, 2, cfg.ny, cfg.nx))
+            orim = jnp.ones((1, 2, cfg.ny, cfg.nx))
+            bev = jnp.zeros((1, 3, cfg.ny, cfg.nx))
+        else:
+            feats, hm, size, orim, bev, _ = lidar_model_apply(
+                params["lidar_model"], stacked[None].astype(cdt),
+                stacked_valid[None],
+                min_x=cfg.min_x, max_x=cfg.max_x, min_y=cfg.min_y,
+                max_y=cfg.max_y,
+                pixels_per_meter=cfg.pixels_per_meter,
+                num_features=cfg.num_features, train=False,
+            )
+            hm = hm.astype(jnp.float32)
+            size = size.astype(jnp.float32)
+            orim = orim.astype(jnp.float32)
         H, W = cfg.ny, cfg.nx
         ego_px = jnp.array([W / 2.0, H / 2.0 + cfg.y_offset * H / 2.0])
         dets = det_inference(
@@ -280,10 +312,22 @@ def build_agent(cfg: LAVConfig, *, max_points: int = 0,
         )
         veh = {k: v[1] for k, v in dets._asdict().items()}  # class 1 = vehicles
 
-        ego_plan_locs, ego_cast_cmd_locs, other_cast_locs, other_cast_cmds, \
-            other_valid = uniplanner_infer(
-                params["uniplanner"], cfg, feats[0], veh, cmd_eff, nxp
-            )
+        if "planner" in skip:
+            T, C, K = cfg.num_plan, cfg.num_cmds, cfg.max_det
+            ego_plan_locs = jnp.zeros((T, 2))
+            ego_cast_cmd_locs = jnp.zeros((T, 2))
+            other_cast_locs = jnp.zeros((K, C, T, 2))
+            other_cast_cmds = jnp.zeros((K, C))
+            other_valid = jnp.zeros((K,), bool)
+        else:
+            ego_plan_locs, ego_cast_cmd_locs, other_cast_locs, \
+                other_cast_cmds, other_valid = uniplanner_infer(
+                    params["uniplanner"], cfg, feats[0], veh, cmd_eff, nxp
+                )
+        ego_plan_locs = ego_plan_locs.astype(jnp.float32)
+        ego_cast_cmd_locs = ego_cast_cmd_locs.astype(jnp.float32)
+        other_cast_locs = other_cast_locs.astype(jnp.float32)
+        other_cast_cmds = other_cast_cmds.astype(jnp.float32)
 
         # lane-change commands drive on the raw cast (lav_agent.py:327-328)
         plan_wps = jnp.where(

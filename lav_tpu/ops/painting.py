@@ -82,7 +82,10 @@ def point_painting(lidar_xyz, sems, rigs: Sequence[CameraRig], valid=None):
     both see a point (reference point_painting.py:55-64).
     """
     N = lidar_xyz.shape[0]
-    C = sems.shape[-1]
+    num_cams, H, W, C = sems.shape
+    # ONE flat gather across all cameras (per-camera fancy indexing lowered
+    # to separate gathers; gathers are cheap but fewer is cheaper)
+    sems_flat = sems.reshape(num_cams * H * W, C)
     painted = jnp.zeros((N, C), dtype=sems.dtype)
     for i, rig in enumerate(rigs):
         u, v, z = project_to_camera(rig, lidar_xyz)
@@ -91,6 +94,6 @@ def point_painting(lidar_xyz, sems, rigs: Sequence[CameraRig], valid=None):
             ok = ok & valid
         uc = jnp.clip(u, 0, rig.width - 1)
         vc = jnp.clip(v, 0, rig.height - 1)
-        sem_at = sems[i][vc, uc]  # (N, C)
+        sem_at = jnp.take(sems_flat, i * H * W + vc * W + uc, axis=0)
         painted = jnp.where(ok[:, None], sem_at, painted)
     return painted

@@ -65,25 +65,32 @@ def compute_pillar_ids(
     return pid, keep, ix, iy
 
 
-def _segment_mean_gather(values, pid, keep, num_segments: int):
+def _segment_mean_gather(values, pid, keep, num_segments: int,
+                         indices_sorted: bool = False):
     """Per-segment mean of `values` (P, D) over pid (P,), gathered back to
-    points: returns (P, D).  Invalid points contribute nothing."""
+    points: returns (P, D).  Invalid points contribute nothing.
+
+    One fused scatter-add of [values, 1] (TPU scatters are expensive —
+    never issue two where one will do); pass indices_sorted=True when pid
+    is ascending to take XLA's sorted-scatter fast path."""
     v = jnp.where(keep[:, None], values, 0.0)
-    ones = keep.astype(values.dtype)
-    sums = jnp.zeros((num_segments, values.shape[-1]), values.dtype).at[pid].add(v)
-    cnts = jnp.zeros((num_segments,), values.dtype).at[pid].add(ones)
-    means = sums / jnp.maximum(cnts, 1.0)[:, None]
+    ones = keep.astype(values.dtype)[:, None]
+    packed = jnp.concatenate([v, ones], axis=-1)
+    acc = jnp.zeros((num_segments, packed.shape[-1]), values.dtype)
+    acc = acc.at[pid].add(packed, indices_are_sorted=indices_sorted)
+    means = acc[:, :-1] / jnp.maximum(acc[:, -1:], 1.0)
     return means[pid]
 
 
 def decorate_points(points, pid, keep, ix, iy, *, min_x, min_y,
-                    pixels_per_meter, nx, ny):
+                    pixels_per_meter, nx, ny, indices_sorted: bool = False):
     """Append the reference's 5 decoration channels to each point
     (point_pillar.py:55-68): xyz offset from the pillar's point-cluster
     mean (3) and xy offset from the pillar cell origin (2)."""
     num_segments = ny * nx + 1
     xyz = points[..., :3]
-    cluster = xyz - _segment_mean_gather(xyz, pid, keep, num_segments)
+    cluster = xyz - _segment_mean_gather(xyz, pid, keep, num_segments,
+                                         indices_sorted=indices_sorted)
     x_center = ix.astype(points.dtype) / pixels_per_meter + min_x
     y_center = iy.astype(points.dtype) / pixels_per_meter + min_y
     xp = points[..., 0] - x_center
@@ -127,6 +134,12 @@ def point_pillar_apply(
                pixels_per_meter=pixels_per_meter, nx=nx, ny=ny)
     pid, keep, ix, iy = compute_pillar_ids(points, valid, **geo)
 
+    # NOTE on scatter strategy: sorting points by pillar id and passing
+    # indices_are_sorted was MEASURED SLOWER on v5e (99.6 ms vs 81.7 ms per
+    # 16-ego tick) — the argsort+gathers cost more than the flag saves.
+    # Plain scatters + one fused mean/count scatter is the current best;
+    # a Pallas tile-accumulate kernel is the next step if this stays hot.
+
     # decoration is constant w.r.t. params (reference wraps it in no_grad)
     dec = jax.vmap(
         lambda pts, pd, kp, jx, jy: decorate_points(
@@ -152,9 +165,9 @@ def point_pillar_apply(
 
     def scatter_one(f, pd):
         C = f.shape[-1]
-        canvas = jnp.full((num_segments, C), neg, f.dtype).at[pd].max(f)
-        counts = jnp.zeros((num_segments,), jnp.int32).at[pd].add(1)
-        canvas = jnp.where((canvas > neg) & (counts > 0)[:, None], canvas, 0.0)
+        canvas = jnp.full((num_segments, C), neg, f.dtype)
+        canvas = canvas.at[pd].max(f)
+        canvas = jnp.where(canvas > neg, canvas, 0.0)
         return canvas[: ny * nx].reshape(ny, nx, C)
 
     canvas = jax.vmap(scatter_one)(feat, pid)

@@ -1,0 +1,69 @@
+"""Pillar featurizer vs a direct numpy oracle (sorted fast path included)."""
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+from lav_tpu.ops.pillar import point_pillar_init, point_pillar_apply
+
+GEO = dict(min_x=-4.0, max_x=4.0, min_y=-4.0, max_y=4.0, pixels_per_meter=2)
+NX = NY = 16
+
+
+def _oracle(params, pts, valid, num_features):
+    """Numpy transcription of the pillar pipeline (eval-mode BN)."""
+    P, D = pts.shape
+    keep = valid & (pts[:, 0] >= GEO["min_x"]) & (pts[:, 0] < GEO["max_x"]) \
+        & (pts[:, 1] >= GEO["min_y"]) & (pts[:, 1] < GEO["max_y"])
+    ix = np.clip(np.floor((pts[:, 0] - GEO["min_x"]) * 2).astype(int), 0, NX - 1)
+    iy = np.clip(np.floor((pts[:, 1] - GEO["min_y"]) * 2).astype(int), 0, NY - 1)
+    row, col = NY - 1 - iy, ix
+
+    canvas = np.zeros((NY, NX, num_features[-1]), np.float32)
+    for r in range(NY):
+        for c in range(NX):
+            sel = keep & (row == r) & (col == c)
+            if not sel.any():
+                continue
+            group = pts[sel]
+            mean = group[:, :3].mean(0)
+            xc = ix[sel][:, None] / 2.0 + GEO["min_x"]
+            yc = iy[sel][:, None] / 2.0 + GEO["min_y"]
+            dec = np.concatenate(
+                [group, group[:, :3] - mean, group[:, :1] - xc,
+                 group[:, 1:2] - yc], -1)
+            f = dec
+            for i in range(len(num_features)):
+                w = np.asarray(params[f"linear_{i}"]["w"])
+                b = np.asarray(params[f"linear_{i}"]["b"])
+                bn = params[f"bn_{i}"]
+                f = f @ w + b
+                f = (f - np.asarray(bn["mean"])) / np.sqrt(
+                    np.asarray(bn["var"]) + 1e-5
+                ) * np.asarray(bn["scale"]) + np.asarray(bn["bias"])
+                f = np.maximum(f, 0)
+            canvas[r, c] = f.max(0)
+    return canvas
+
+
+def test_pillar_canvas_matches_oracle(rng):
+    num_features = [8, 8]
+    D = 4
+    params = point_pillar_init(jax.random.key(3), D + 5, num_features)
+    # randomize BN stats so eval-mode normalization is actually exercised
+    for i in range(2):
+        params[f"bn_{i}"]["mean"] = jnp.asarray(
+            rng.normal(size=(8,)).astype(np.float32))
+        params[f"bn_{i}"]["var"] = jnp.asarray(
+            rng.uniform(0.5, 2.0, size=(8,)).astype(np.float32))
+
+    P = 200
+    pts = rng.uniform(-6, 6, size=(P, D)).astype(np.float32)
+    valid = rng.uniform(size=P) > 0.2
+
+    canvas, _ = point_pillar_apply(
+        params, jnp.asarray(pts)[None], jnp.asarray(valid)[None],
+        num_features=num_features, train=False, **GEO,
+    )
+    ref = _oracle(params, pts, valid, num_features)
+    np.testing.assert_allclose(np.asarray(canvas[0]), ref, atol=2e-4)
