@@ -353,8 +353,10 @@ def build_agent(cfg: LAVConfig, *, max_points: int = 0,
             plan_wps, other_cast_locs, other_cast_cmds, other_valid,
             pixels_per_meter=cfg.pixels_per_meter, cmd_thresh=cfg.cmd_thresh,
             brake_speed=cfg.brake_speed,
+            dist_threshold_static=cfg.collide_dist_static,
+            dist_threshold_moving=cfg.collide_dist_moving,
         )
-        hard_brake = (pred_bra > 0.1) | collide
+        hard_brake = (pred_bra > cfg.brake_net_thresh) | collide
         throttle = jnp.where(hard_brake, 0.0, throttle)
         brake = jnp.where(hard_brake, 1.0, brake)
         throttle = jnp.where(spd * 3.6 > cfg.max_speed, 0.0, throttle)

@@ -95,6 +95,12 @@ class LAVConfig:
     det_max_pool_ks: int = 7
     det_min_score: float = 0.1
 
+    # ---- agent overrides (v1 vs v2 differ, team_code/lav_agent.py:244,264
+    # vs team_code_v2/lav_agent.py:337,382) ----
+    brake_net_thresh: float = 0.3
+    collide_dist_static: float = 2.0
+    collide_dist_moving: float = 2.0
+
     # ---- controller ----
     aim_point: object = 4          # int (v1) or per-cmd list (v2 agent)
     speed_ratio: object = 1.0      # float or per-cmd list
@@ -206,6 +212,9 @@ def v2_config(**overrides) -> LAVConfig:
         num_features=[64, 64],
         aim_point=[4, 4, 4, 3, 6, 6],
         speed_ratio=[0.8, 0.8, 0.8, 1.0, 0.6, 0.6],
+        brake_net_thresh=0.1,
+        collide_dist_static=1.0,
+        collide_dist_moving=2.5,
     )
     return cfg.replace(**overrides)
 

@@ -115,6 +115,27 @@ def test_loader_batches(episode):
     assert b["cmds"].shape == (4,)
 
 
+def test_temporal_bev_dataset(episode):
+    cfg = CFG.replace(num_frame_stack=2)
+    ds = get_dataset("temporal_bev", cfg, [episode])
+    s = ds[4]
+    C = 3 + 2 * (cfg.num_frame_stack + 1)
+    assert s["bev"].shape == (cfg.ny, cfg.nx, C)
+    assert set(np.unique(s["bev"])) <= {0.0, 1.0}
+    assert s["ego_locs"].shape == (cfg.num_plan + 1, 2)
+
+
+def test_config_agent_overrides():
+    from lav_tpu.config import v1_config, v2_config
+
+    v1, v2 = v1_config(), v2_config()
+    assert v1.brake_net_thresh == 0.3 and v2.brake_net_thresh == 0.1
+    assert v1.collide_dist_moving == 2.0 and v2.collide_dist_moving == 2.5
+    assert v2.num_input == 4 + 4 + 3 + 5  # xyzr + painted + age + decoration
+    assert v1.num_input == 4 + 4 + 5
+    assert v2.bev_input_channels == 9 and v1.bev_input_channels == 5
+
+
 def test_rotate_image_identity_and_90(rng):
     img = rng.uniform(0, 255, size=(16, 16, 3)).astype(np.float32)
     out = rotate_image(img, 0.0, center=(8, 8))
