@@ -32,8 +32,9 @@ def main():
     from __graft_entry__ import _v2_agent_setup
 
     dtype = None if os.environ.get("BENCH_F32") else jnp.bfloat16
+    use_pallas = bool(os.environ.get("BENCH_PALLAS"))
     step, params, state0, obs0 = _v2_agent_setup(
-        max_points=MAX_POINTS, compute_dtype=dtype
+        max_points=MAX_POINTS, compute_dtype=dtype, use_pallas=use_pallas
     )
 
     # batch the whole agent over an ego axis

@@ -75,7 +75,7 @@ def _per_cmd(val, num_cmds: int):
 
 def build_agent(cfg: LAVConfig, *, max_points: int = 0,
                 camera_yaws=(-60, 0, 60), rgb_hw=(288, 256), cam_fov=64,
-                compute_dtype=None, skip=()):
+                compute_dtype=None, skip=(), use_pallas: bool = False):
     """Returns (init_state, step) for the fused agent.
 
     max_points: raw per-sweep point capacity (default: cfg-derived).
@@ -298,6 +298,7 @@ def build_agent(cfg: LAVConfig, *, max_points: int = 0,
                 max_y=cfg.max_y,
                 pixels_per_meter=cfg.pixels_per_meter,
                 num_features=cfg.num_features, train=False,
+                use_pallas=use_pallas,
             )
             hm = hm.astype(jnp.float32)
             size = size.astype(jnp.float32)

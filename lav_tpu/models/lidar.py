@@ -132,6 +132,7 @@ def lidar_model_apply(
     pixels_per_meter: float,
     num_features: Sequence[int],
     train: bool = False,
+    use_pallas: bool = False,
 ):
     """points (B, P, D) padded, valid (B, P).
 
@@ -143,7 +144,7 @@ def lidar_model_apply(
         p["point_pillar"], points, valid,
         min_x=min_x, max_x=max_x, min_y=min_y, max_y=max_y,
         pixels_per_meter=pixels_per_meter, num_features=num_features,
-        train=train,
+        train=train, use_pallas=use_pallas,
     )
     features, st_bb = backbone_apply(p["backbone"], canvas, train)
     hm, st_c = _head(p["center_head"], features, train)

@@ -16,7 +16,6 @@ from __future__ import annotations
 
 import argparse
 import os
-from functools import partial
 
 import numpy as np
 
