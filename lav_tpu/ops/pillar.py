@@ -171,14 +171,16 @@ def point_pillar_apply(
     if use_pallas and not train:
         from lav_tpu.ops.pillar_pallas import pillar_scatter_max_pallas
 
-        def scatter_one(args):
-            f, pd = args
-            canvas = pillar_scatter_max_pallas(
-                f, pd, num_segments=num_segments
-            )
-            return canvas[: ny * nx].reshape(ny, nx, f.shape[-1])
-
-        canvas = jax.lax.map(scatter_one, (feat, pid))
+        # static Python loop over the (small) batch — the agent step calls
+        # this with B=1 and vmaps over egos; lax.map's closed_call around
+        # pallas_call breaks the AOT compile path here
+        per_item = [
+            pillar_scatter_max_pallas(
+                feat[b], pid[b], num_segments=num_segments
+            )[: ny * nx].reshape(ny, nx, feat.shape[-1])
+            for b in range(feat.shape[0])
+        ]
+        canvas = jnp.stack(per_item)
     else:
         def scatter_one(f, pd):
             C = f.shape[-1]

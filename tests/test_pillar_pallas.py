@@ -36,7 +36,7 @@ def test_pallas_kernel_empty_and_padding(rng):
     feat = np.full((P, C), NEG, np.float32)
     pid = np.full((P,), G - 1, np.int32)
     out = pillar_scatter_max_pallas(
-        jnp.asarray(feat), jnp.asarray(pid), num_segments=G, slab=64,
+        jnp.asarray(feat), jnp.asarray(pid), num_segments=G, slab=128,
         interpret=True,
     )
     np.testing.assert_array_equal(np.asarray(out), np.zeros((G, C)))
