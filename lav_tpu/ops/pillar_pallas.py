@@ -34,7 +34,8 @@ SUB = 16  # sublane tile (bf16-safe; also fine for f32)
 
 
 def _kernel(pid_ref, feat_ref, out_hbm, canvas, sem, *, slab: int,
-            c_feat: int, n_chunks: int, batched: bool):
+            c_feat: int, n_chunks: int, batched: bool,
+            dma_flush: bool = True):
     step = pl.program_id(1 if batched else 0)
 
     @pl.when(step == 0)
@@ -76,10 +77,13 @@ def _kernel(pid_ref, feat_ref, out_hbm, canvas, sem, *, slab: int,
 
     @pl.when(step == n_chunks - 1)
     def _flush():
-        dst = out_hbm.at[pl.program_id(0)] if batched else out_hbm
-        copy = pltpu.make_async_copy(canvas, dst, sem)
-        copy.start()
-        copy.wait()
+        if dma_flush:  # ANY-space output, written by explicit DMA
+            dst = out_hbm.at[pl.program_id(0)] if batched else out_hbm
+            copy = pltpu.make_async_copy(canvas, dst, sem)
+            copy.start()
+            copy.wait()
+        else:  # interpret mode: blocked VMEM output, plain copy
+            out_hbm[...] = canvas[...][None]
 
 
 def _packed_call(featb, pidb, *, num_segments: int, slab: int,
@@ -108,9 +112,16 @@ def _packed_call(featb, pidb, *, num_segments: int, slab: int,
     )
     feat_tiles = feat_pad.reshape(B, n_chunks, slab // SUB, SUB, 128)
 
+    if interpret:
+        out_spec = pl.BlockSpec((1, g2_pad // SUB, SUB, 128),
+                                lambda b, c: (b, 0, 0, 0),
+                                memory_space=pltpu.VMEM)
+    else:
+        out_spec = pl.BlockSpec(memory_space=pltpu.ANY)
+
     return pl.pallas_call(
         functools.partial(_kernel, slab=slab, c_feat=C, n_chunks=n_chunks,
-                          batched=True),
+                          batched=True, dma_flush=not interpret),
         grid=(B, n_chunks),
         in_specs=[
             pl.BlockSpec((1, 1, slab // 128, 128),
@@ -120,7 +131,7 @@ def _packed_call(featb, pidb, *, num_segments: int, slab: int,
                          lambda b, c: (b, c, 0, 0, 0),
                          memory_space=pltpu.VMEM),
         ],
-        out_specs=pl.BlockSpec(memory_space=pltpu.ANY),
+        out_specs=out_spec,
         out_shape=jax.ShapeDtypeStruct(
             (B, g2_pad // SUB, SUB, 128), featb.dtype
         ),
