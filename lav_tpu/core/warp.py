@@ -88,41 +88,56 @@ def grid_sample_shared(img, grid):
     """Bilinear-sample ONE source `img` (H, W, C) at many grids
     (K, Ho, Wo, 2) -> (K, Ho, Wo, C).
 
-    Memory-critical variant of `grid_sample`: gathers directly from the
-    single source instead of broadcasting it K times (tiling a 384-channel
-    BEV feature map per detection was an 8.8 GB HLO temp on v5e).
+    Memory- and bandwidth-critical variant of `grid_sample`:
+      * gathers directly from the single source instead of broadcasting it
+        K times (tiling a 384-channel map per detection was an 8.8 GB HLO
+        temp on v5e);
+      * fetches each sample's whole 2x2 neighborhood with ONE gather of a
+        (2, 2, C) slice instead of four separate row gathers (the 4-tap
+        form was 4 x 32 ms per 16-ego agent tick on v5e).
+
+    Zero-padding semantics come from per-tap weights
+    w = max(0, 1 - |pos - col|) masked to the valid range, which equals
+    align_corners=True bilinear with zeros outside (taps clamped into the
+    source window contribute exactly the right weight).
     """
     H, W, C = img.shape
     K, Ho, Wo, _ = grid.shape
     ix = (grid[..., 0] + 1.0) * 0.5 * (W - 1)
     iy = (grid[..., 1] + 1.0) * 0.5 * (H - 1)
 
-    x0 = jnp.floor(ix)
-    y0 = jnp.floor(iy)
-    x1 = x0 + 1.0
-    y1 = y0 + 1.0
-    wx1 = ix - x0
-    wy1 = iy - y0
-    wx0 = 1.0 - wx1
-    wy0 = 1.0 - wy1
+    x0 = jnp.clip(jnp.floor(ix), 0, W - 2).astype(jnp.int32)
+    y0 = jnp.clip(jnp.floor(iy), 0, H - 2).astype(jnp.int32)
 
-    flat = img.reshape(H * W, C)
-
-    def tap(xf, yf, wx, wy):
-        inb = (xf >= 0) & (xf <= W - 1) & (yf >= 0) & (yf <= H - 1)
-        xi = jnp.clip(xf, 0, W - 1).astype(jnp.int32)
-        yi = jnp.clip(yf, 0, H - 1).astype(jnp.int32)
-        vals = jnp.take(flat, (yi * W + xi).reshape(-1), axis=0)
-        w = (wx * wy * inb).astype(img.dtype)
-        return vals.reshape(K, Ho, Wo, C) * w[..., None]
-
-    out = (
-        tap(x0, y0, wx0, wy0)
-        + tap(x1, y0, wx1, wy0)
-        + tap(x0, y1, wx0, wy1)
-        + tap(x1, y1, wx1, wy1)
+    starts = jnp.stack(
+        [y0.reshape(-1), x0.reshape(-1)], axis=-1
+    )  # (N, 2)
+    dnums = jax.lax.GatherDimensionNumbers(
+        offset_dims=(1, 2, 3),
+        collapsed_slice_dims=(),
+        start_index_map=(0, 1),
     )
-    return out.astype(img.dtype)
+    neigh = jax.lax.gather(
+        img, starts, dnums, slice_sizes=(2, 2, C),
+        mode=jax.lax.GatherScatterMode.CLIP,
+    )  # (N, 2, 2, C)
+    neigh = neigh.reshape(K, Ho, Wo, 2, 2, C)
+
+    # per-tap clamp weights: w = max(0, 1 - |pos - col|) with cols clamped
+    # into the window reproduces zero-pad bilinear exactly, INCLUDING
+    # partial edge contributions (no extra in-bounds mask — that would
+    # wrongly zero samples straddling the border)
+    x0f = x0.astype(ix.dtype)
+    y0f = y0.astype(iy.dtype)
+
+    out = jnp.zeros((K, Ho, Wo, C), img.dtype)
+    for dy in (0, 1):
+        wy = jnp.maximum(0.0, 1.0 - jnp.abs(iy - (y0f + dy)))
+        for dx in (0, 1):
+            wx = jnp.maximum(0.0, 1.0 - jnp.abs(ix - (x0f + dx)))
+            w = (wy * wx).astype(img.dtype)
+            out = out + neigh[:, :, :, dy, dx, :] * w[..., None]
+    return out
 
 
 def _crop_theta(rel_locs, rel_oris, H, W, pixels_per_meter, crop_size,

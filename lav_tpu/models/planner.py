@@ -461,26 +461,35 @@ def uniplanner_infer(params, cfg: LAVConfig, features, det, cmd, nxp):
     ooris = jnp.arctan2(det["sin"], det["cos"])
     K = olocs.shape[0]
 
-    # chunked crop+embed: materializing all K 384-channel crops at once
-    # costs ~K * 13 MB * 4 gather taps live (3.16 GB x 5 at 16 vmapped egos
-    # on v5e) — lax.map over chunks bounds the peak while keeping the MXU
-    # batch reasonable
-    chunk = _det_chunk(K)
+    # Crop+embed all K detections.  In f32 the K 384-channel crops cost
+    # ~3.2 GB per gather tap at 16 vmapped egos (v5e OOM), so that path
+    # chunks through lax.map; in bf16 everything fits and the single big
+    # gather is ~15x faster than the serialized chunks (measured: the
+    # chunked while-loop was 130 ms/tick vs 8 ms unchunked).
+    if features.dtype == jnp.float32 and K > _det_chunk(K):
+        chunk = _det_chunk(K)
 
-    def embed_chunk(args):
-        l, o = args
-        crop = crop_feature_shared(
-            features, l, o,
+        def embed_chunk(args):
+            l, o = args
+            crop = crop_feature_shared(
+                features, l, o,
+                pixels_per_meter=ppm / 2, crop_size=cfg.crop_size,
+                offset_y=cfg.y_offset,
+            )
+            emb, _ = _conv_emb(params["lidar_conv_emb"], crop, False)
+            return emb
+
+        other_embd = jax.lax.map(
+            embed_chunk,
+            (olocs.reshape(-1, chunk, 2), ooris.reshape(-1, chunk)),
+        ).reshape(K, EMBD)
+    else:
+        crop_other = crop_feature_shared(
+            features, olocs, ooris,
             pixels_per_meter=ppm / 2, crop_size=cfg.crop_size,
             offset_y=cfg.y_offset,
         )
-        emb, _ = _conv_emb(params["lidar_conv_emb"], crop, False)
-        return emb
-
-    other_embd = jax.lax.map(
-        embed_chunk,
-        (olocs.reshape(-1, chunk, 2), ooris.reshape(-1, chunk)),
-    ).reshape(K, EMBD)
+        other_embd, _ = _conv_emb(params["lidar_conv_emb"], crop_other, False)
     other_cast_locs = cast(params, other_embd, cfg.num_plan)  # ego bank (quirk)
     other_cast_cmds = cast_cmd_pred(params, other_embd)
     # rotate each car's forecast back into the ego frame

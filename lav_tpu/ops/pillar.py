@@ -83,11 +83,15 @@ def _segment_mean_gather(values, pid, keep, num_segments: int,
 
 
 def decorate_points(points, pid, keep, ix, iy, *, min_x, min_y,
-                    pixels_per_meter, nx, ny, indices_sorted: bool = False):
+                    pixels_per_meter, nx, ny, indices_sorted: bool = False,
+                    num_segments: int = 0):
     """Append the reference's 5 decoration channels to each point
     (point_pillar.py:55-68): xyz offset from the pillar's point-cluster
-    mean (3) and xy offset from the pillar cell origin (2)."""
-    num_segments = ny * nx + 1
+    mean (3) and xy offset from the pillar cell origin (2).
+
+    num_segments: override the segment-space size (callers that fold a
+    batch axis into pid pass B * (ny*nx+1))."""
+    num_segments = num_segments or (ny * nx + 1)
     xyz = points[..., :3]
     cluster = xyz - _segment_mean_gather(xyz, pid, keep, num_segments,
                                          indices_sorted=indices_sorted)
@@ -139,20 +143,26 @@ def point_pillar_apply(
                pixels_per_meter=pixels_per_meter, nx=nx, ny=ny)
     pid, keep, ix, iy = compute_pillar_ids(points, valid, **geo)
 
-    # NOTE on scatter strategy: sorting points by pillar id and passing
-    # indices_are_sorted was MEASURED SLOWER on v5e (99.6 ms vs 81.7 ms per
-    # 16-ego tick) — the argsort+gathers cost more than the flag saves.
-    # Plain scatters + one fused mean/count scatter is the current best;
-    # a Pallas tile-accumulate kernel is the next step if this stays hot.
+    # SCATTER STRATEGY (all measured on v5e, 16 egos, 49k pts):
+    #  * sorting + indices_are_sorted: SLOWER (99.6 vs 81.7 ms) — argsort
+    #    and gathers cost more than the flag saves
+    #  * vmap-of-vmap scatters: CATASTROPHIC — XLA expands doubly-batched
+    #    scatters into serialized while loops (~36 ms for a 4-channel add
+    #    that costs ~0.05 ms singly-batched).  The agent step vmaps over
+    #    egos around this function's batch axis, so the batch MUST be
+    #    folded into the segment space (offset pillar ids, one flat
+    #    scatter) rather than vmapped.
+    Bq = points.shape[0]
+    offs = (jnp.arange(Bq, dtype=pid.dtype) * num_segments)[:, None]
+    pid_flat = (pid + offs).reshape(-1)
 
     # decoration is constant w.r.t. params (reference wraps it in no_grad)
-    dec = jax.vmap(
-        lambda pts, pd, kp, jx, jy: decorate_points(
-            pts, pd, kp, jx, jy,
-            min_x=min_x, min_y=min_y, pixels_per_meter=pixels_per_meter,
-            nx=nx, ny=ny,
-        )
-    )(points, pid, keep, ix, iy)
+    dec = decorate_points(
+        points.reshape(-1, points.shape[-1]), pid_flat, keep.reshape(-1),
+        ix.reshape(-1), iy.reshape(-1),
+        min_x=min_x, min_y=min_y, pixels_per_meter=pixels_per_meter,
+        nx=nx, ny=ny, num_segments=Bq * num_segments,
+    ).reshape(Bq, points.shape[1], -1)
     dec = jax.lax.stop_gradient(dec)
 
     # per-point MLP with batch-wide masked BN (reference flattens the whole
@@ -182,12 +192,12 @@ def point_pillar_apply(
         ]
         canvas = jnp.stack(per_item)
     else:
-        def scatter_one(f, pd):
-            C = f.shape[-1]
-            canvas = jnp.full((num_segments, C), neg, f.dtype)
-            canvas = canvas.at[pd].max(f)
-            canvas = jnp.where(canvas > neg, canvas, 0.0)
-            return canvas[: ny * nx].reshape(ny, nx, C)
-
-        canvas = jax.vmap(scatter_one)(feat, pid)
+        # ONE flat scatter over the batch-folded segment space (see the
+        # double-vmap note above)
+        C = feat.shape[-1]
+        canvas = jnp.full((Bq * num_segments, C), neg, feat.dtype)
+        canvas = canvas.at[pid_flat].max(feat.reshape(-1, C))
+        canvas = jnp.where(canvas > neg, canvas, 0.0)
+        canvas = canvas.reshape(Bq, num_segments, C)[:, : ny * nx]
+        canvas = canvas.reshape(Bq, ny, nx, C)
     return canvas, state

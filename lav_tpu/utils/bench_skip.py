@@ -78,7 +78,7 @@ def main():
 
     results = {}
     for v in args.variants.split(","):
-        skip = () if v == "none" else (v,)
+        skip = () if v == "none" else tuple(v.split("+"))
         ms = run_variant(skip, args.num_ego, args.max_points)
         results[f"skip_{v}_ms"] = round(ms, 1)
         print(json.dumps({f"skip_{v}_ms": round(ms, 1)}), flush=True)
