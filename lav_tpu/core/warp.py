@@ -129,15 +129,18 @@ def grid_sample_shared(img, grid):
     # wrongly zero samples straddling the border)
     x0f = x0.astype(ix.dtype)
     y0f = y0.astype(iy.dtype)
-
-    out = jnp.zeros((K, Ho, Wo, C), img.dtype)
-    for dy in (0, 1):
-        wy = jnp.maximum(0.0, 1.0 - jnp.abs(iy - (y0f + dy)))
-        for dx in (0, 1):
-            wx = jnp.maximum(0.0, 1.0 - jnp.abs(ix - (x0f + dx)))
-            w = (wy * wx).astype(img.dtype)
-            out = out + neigh[:, :, :, dy, dx, :] * w[..., None]
-    return out
+    wy = jnp.stack(
+        [jnp.maximum(0.0, 1.0 - jnp.abs(iy - (y0f + d))) for d in (0, 1)],
+        axis=-1,
+    )  # (K, Ho, Wo, 2)
+    wx = jnp.stack(
+        [jnp.maximum(0.0, 1.0 - jnp.abs(ix - (x0f + d))) for d in (0, 1)],
+        axis=-1,
+    )
+    w = (wy[..., :, None] * wx[..., None, :]).astype(img.dtype)
+    # one contraction over the (2, 2) neighborhood — slicing the gather
+    # output into 4 views forced large layout copies on v5e
+    return jnp.einsum("khwij,khwijc->khwc", w, neigh)
 
 
 def _crop_theta(rel_locs, rel_oris, H, W, pixels_per_meter, crop_size,

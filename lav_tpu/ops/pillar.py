@@ -78,6 +78,10 @@ def _segment_mean_gather(values, pid, keep, num_segments: int,
     packed = jnp.concatenate([v, ones], axis=-1)
     acc = jnp.zeros((num_segments, packed.shape[-1]), values.dtype)
     acc = acc.at[pid].add(packed, indices_are_sorted=indices_sorted)
+    # pin the scatter's natural layout: letting the downstream consumers
+    # propagate a minor-dim-0 layout into the scatter turned a ~0.05 ms
+    # update into a 31 ms one on v5e
+    acc = jax.lax.optimization_barrier(acc)
     means = acc[:, :-1] / jnp.maximum(acc[:, -1:], 1.0)
     return means[pid]
 
