@@ -109,6 +109,9 @@ def grid_sample_shared(img, grid):
     x0 = jnp.clip(jnp.floor(ix), 0, W - 2).astype(jnp.int32)
     y0 = jnp.clip(jnp.floor(iy), 0, H - 2).astype(jnp.int32)
 
+    # NOTE: gathering (2, 2*C) segments from an (H, W*C) view was measured
+    # 30x SLOWER on v5e (2.7 vs 78 steps/s full-agent) — XLA's gather
+    # emitter handles the (2, 2, C) slice form far better.
     starts = jnp.stack(
         [y0.reshape(-1), x0.reshape(-1)], axis=-1
     )  # (N, 2)
