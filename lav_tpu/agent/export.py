@@ -40,11 +40,32 @@ def _example_inputs(cfg: LAVConfig, max_points: int, rgb_hw, tel_hw):
     return step, state, obs
 
 
+_REGISTERED = False
+
+
+def _register_pytrees():
+    """jax.export needs named(tuple) serialization registered once."""
+    global _REGISTERED
+    if _REGISTERED:
+        return
+    from jax import export as jexport
+
+    from lav_tpu.agent.agent import AgentState, Control
+    from lav_tpu.agent.ekf import EKFState
+
+    for cls in (AgentState, Control, EKFState):
+        jexport.register_namedtuple_serialization(
+            cls, serialized_name=f"lav_tpu.{cls.__name__}"
+        )
+    _REGISTERED = True
+
+
 def export_agent_step(cfg: LAVConfig, params, *, max_points: int = 8192,
                       rgb_hw=(288, 256), tel_hw=(192, 480)) -> bytes:
     """Serialize the jitted closed-loop step with params baked in."""
     from jax import export as jexport
 
+    _register_pytrees()
     step, state, obs = _example_inputs(cfg, max_points, rgb_hw, tel_hw)
 
     def fn(state, obs):
@@ -57,4 +78,5 @@ def export_agent_step(cfg: LAVConfig, params, *, max_points: int = 8192,
 def load_agent_step(blob: bytes) -> Callable:
     from jax import export as jexport
 
+    _register_pytrees()
     return jexport.deserialize(blob).call
