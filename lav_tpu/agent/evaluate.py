@@ -52,12 +52,49 @@ def evaluate_episode(cfg, params, env: ReplayEnv, step, init_state,
     return stats
 
 
+def evaluate_batched(cfg, params, envs, step_fn, init_state, max_ticks: int):
+    """Batched multi-ego evaluation: all episodes advance in lockstep
+    through ONE vmapped device step (the BASELINE.md headline pattern)."""
+    n = len(envs)
+    iters = [env.frames() for env in envs]
+    states = jax.tree.map(
+        lambda *xs: jnp.stack(xs), *[init_state() for _ in range(n)]
+    )
+    vstep = jax.jit(jax.vmap(step_fn, in_axes=(None, 0, 0)))
+    timer = StepTimer(warmup=2)
+    stats = dict(ticks=0, nan_controls=0, brakes=0)
+    for t in range(max_ticks):
+        obs_list = []
+        for it in iters:
+            try:
+                obs_list.append(next(it))
+            except StopIteration:
+                return stats
+        obs = jax.tree.map(lambda *xs: jnp.stack(xs), *obs_list)
+        timer.start()
+        ctrl, states, aux = vstep(params, states, obs)
+        timer.stop(ctrl)
+        c = np.stack([np.asarray(ctrl.steer), np.asarray(ctrl.throttle),
+                      np.asarray(ctrl.brake)])
+        stats["ticks"] += n
+        stats["nan_controls"] += int((~np.isfinite(c)).sum())
+        stats["brakes"] += int((np.asarray(ctrl.brake) > 0.5).sum())
+    stats["latency"] = timer.stats()
+    if stats["latency"]:
+        stats["ego_steps_per_sec"] = round(
+            stats["latency"]["steps_per_sec"] * n, 2
+        )
+    return stats
+
+
 def main():
     p = argparse.ArgumentParser()
     p.add_argument("--episodes", type=int, default=1)
     p.add_argument("--ticks", type=int, default=40)
     p.add_argument("--tiny", action="store_true")
     p.add_argument("--v2", action="store_true")
+    p.add_argument("--num-ego", type=int, default=0,
+                   help="batched multi-ego evaluation with N lockstep egos")
     p.add_argument("--max-points", type=int, default=2048)
     p.add_argument("--out", default="results.json")
     args = p.parse_args()
@@ -70,6 +107,25 @@ def main():
                                       rgb_hw=img_hw)
     params = build_params(cfg)
     step = jax.jit(step_fn)
+
+    if args.num_ego:
+        envs = [
+            ReplayEnv(
+                make_synthetic_episode(
+                    n_frames=args.ticks + cfg.num_plan + 1,
+                    n_lidar=args.max_points, img_hw=img_hw,
+                    bev_hw=(cfg.ny, cfg.nx), seed=e,
+                ),
+                cfg, max_points=args.max_points,
+            )
+            for e in range(args.num_ego)
+        ]
+        rec = evaluate_batched(cfg, params, envs, step_fn, init_state,
+                               args.ticks)
+        print(json.dumps(rec))
+        with open(args.out, "w") as f:
+            json.dump(rec, f, indent=2)
+        return
 
     records = []
     for e in range(args.episodes):
