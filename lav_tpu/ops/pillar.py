@@ -76,14 +76,15 @@ def _segment_mean_gather(values, pid, keep, num_segments: int,
     v = jnp.where(keep[:, None], values, 0.0)
     ones = keep.astype(values.dtype)[:, None]
     packed = jnp.concatenate([v, ones], axis=-1)
-    acc = jnp.zeros((num_segments, packed.shape[-1]), values.dtype)
-    acc = acc.at[pid].add(packed, indices_are_sorted=indices_sorted)
-    # pin the scatter's natural layout: letting the downstream consumers
-    # propagate a minor-dim-0 layout into the scatter turned a ~0.05 ms
-    # update into a 31 ms one on v5e
-    acc = jax.lax.optimization_barrier(acc)
-    means = acc[:, :-1] / jnp.maximum(acc[:, -1:], 1.0)
-    return means[pid]
+    # transposed accumulator (channels, segments): consumers propagated a
+    # segments-minor layout into the (segments, channels) form, turning the
+    # scatter into strided single-element writes (31 ms/tick on v5e);
+    # with segments as the trailing dim the canonical layout is already
+    # what the consumers want
+    acc = jnp.zeros((packed.shape[-1], num_segments), values.dtype)
+    acc = acc.at[:, pid].add(packed.T, indices_are_sorted=indices_sorted)
+    means = acc[:-1] / jnp.maximum(acc[-1:], 1.0)
+    return means[:, pid].T
 
 
 def decorate_points(points, pid, keep, ix, iy, *, min_x, min_y,
