@@ -17,7 +17,7 @@ import numpy as np
 
 from lav_tpu.config import LAVConfig
 from lav_tpu.data.store import Episode
-from lav_tpu.data.transforms import ego_hull_filter
+
 
 EARTH_RADIUS = 6371e3
 

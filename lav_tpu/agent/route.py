@@ -11,8 +11,8 @@ the models were trained with: 0 left, 1 right, 2 straight, 3 lanefollow,
 from __future__ import annotations
 
 import math
-from collections import deque
-from typing import List, Sequence, Tuple
+
+from typing import Sequence, Tuple
 
 import numpy as np
 

@@ -32,7 +32,7 @@ def main():
     from lav_tpu.models.lidar import lidar_model_init, lidar_model_apply
     from lav_tpu.models.planner import uniplanner_init, uniplanner_infer
     from lav_tpu.ops.peak import det_inference
-    from lav_tpu.ops.pillar import (
+    from lav_tpu.ops.pillar import (  # noqa
         compute_pillar_ids, decorate_points, point_pillar_apply,
     )
 
