@@ -12,8 +12,14 @@ broadcasting inside one kernel rather than a Python loop.
 
 from __future__ import annotations
 
+import os
+
 import jax
 import jax.numpy as jnp
+
+# crop-gather lowering form, switchable for benchmarking: "block" = one
+# (2,2,C)-slice gather (current best on v5e), "rows" = two (1,2,C) gathers
+_GATHER_FORM = os.environ.get("LAV_GATHER_FORM", "block")
 
 
 def affine_grid(theta, out_h: int, out_w: int):
@@ -120,10 +126,23 @@ def grid_sample_shared(img, grid):
         collapsed_slice_dims=(),
         start_index_map=(0, 1),
     )
-    neigh = jax.lax.gather(
-        img, starts, dnums, slice_sizes=(2, 2, C),
-        mode=jax.lax.GatherScatterMode.CLIP,
-    )  # (N, 2, 2, C)
+    if _GATHER_FORM == "rows":
+        # two (1,2,C) row gathers: each fetch is one contiguous 2C segment
+        starts1 = starts.at[:, 0].add(1)
+        top = jax.lax.gather(
+            img, starts, dnums, slice_sizes=(1, 2, C),
+            mode=jax.lax.GatherScatterMode.CLIP,
+        )
+        bot = jax.lax.gather(
+            img, starts1, dnums, slice_sizes=(1, 2, C),
+            mode=jax.lax.GatherScatterMode.CLIP,
+        )
+        neigh = jnp.concatenate([top, bot], axis=1)
+    else:
+        neigh = jax.lax.gather(
+            img, starts, dnums, slice_sizes=(2, 2, C),
+            mode=jax.lax.GatherScatterMode.CLIP,
+        )  # (N, 2, 2, C)
     neigh = neigh.reshape(K, Ho, Wo, 2, 2, C)
 
     # per-tap clamp weights: w = max(0, 1 - |pos - col|) with cols clamped
