@@ -126,7 +126,20 @@ def grid_sample_shared(img, grid):
         collapsed_slice_dims=(),
         start_index_map=(0, 1),
     )
-    if _GATHER_FORM == "rows":
+    if _GATHER_FORM == "i32" and img.dtype == jnp.bfloat16 and C % 2 == 0:
+        # halve the gathered ELEMENT count by packing bf16 channel pairs
+        # into int32 lanes (pure bitcast, values untouched)
+        packed = jax.lax.bitcast_convert_type(
+            img.reshape(H, W, C // 2, 2), jnp.int32
+        )  # (H, W, C//2)
+        g32 = jax.lax.gather(
+            packed, starts, dnums, slice_sizes=(2, 2, C // 2),
+            mode=jax.lax.GatherScatterMode.CLIP,
+        )  # (N, 2, 2, C//2) int32
+        neigh = jax.lax.bitcast_convert_type(g32, jnp.bfloat16).reshape(
+            -1, 2, 2, C
+        )
+    elif _GATHER_FORM == "rows":
         # two (1,2,C) row gathers: each fetch is one contiguous 2C segment
         starts1 = starts.at[:, 0].add(1)
         top = jax.lax.gather(
