@@ -8,6 +8,7 @@ perception (320x320 canvas), masked peak detection, multi-modal
 cast/plan GRU rollouts, EKF + PID control — vmapped over NUM_EGO vehicles.
 """
 
+import functools
 import json
 import os
 import sys
@@ -43,7 +44,9 @@ def main():
 
     vstep = jax.vmap(step, in_axes=(None, 0, 0))
 
-    @jax.jit
+    # donate the state buffers: the ring buffers (~7.9 MB/ego) alias
+    # in-place instead of copying every tick
+    @functools.partial(jax.jit, donate_argnums=(1,))
     def tick(params, states, obs):
         ctrl, new_states, _ = vstep(params, states, obs)
         return ctrl, new_states

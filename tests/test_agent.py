@@ -60,6 +60,29 @@ def test_agent_three_ticks(rng):
     # first frame must emit zero control (reference early return)
 
 
+def test_agent_temporal_stack_ticks(rng):
+    """v2-style agent (num_frame_stack=2): ring buffer, re-registration,
+    age one-hots, v2 brake net — advances over GAP boundaries."""
+    cfg = CFG.replace(num_frame_stack=2, max_lidar_points=768)
+    init_state, step = build_agent(cfg, rgb_hw=IMG_HW)
+    ks = jax.random.split(jax.random.key(9), 4)
+    params = {
+        "lidar_model": lidar_model_init(ks[0], cfg.num_input, cfg.num_features),
+        "uniplanner": uniplanner_init(ks[1], cfg),
+        "seg_model": seg_model_init(ks[2], len(cfg.seg_channels)),
+        "bra_model": brake_model_init(ks[3], 3, version=2),
+    }
+    state = init_state()
+    assert state.lidar_buf.shape[0] == 15  # (stack+1) * GAP
+    P = state.prev_lidar.shape[0]
+    jstep = jax.jit(step)
+    for frame in range(7):
+        ctrl, state, aux = jstep(params, state, _obs(rng, P, frame))
+        assert np.isfinite(float(ctrl.steer))
+    assert int(state.buf_count) == 6  # pushes start at frame 2
+    assert int(state.buf_ptr) == 6
+
+
 def test_agent_first_tick_zero_control(rng):
     cfg = CFG
     init_state, step = build_agent(cfg, rgb_hw=IMG_HW)
