@@ -68,18 +68,29 @@ def main():
     log("warmed up")
     tick = compiled
 
+    # throughput: pipelined (no per-iteration sync)
     t0 = time.perf_counter()
     for _ in range(ITERS):
         ctrl, states = tick(params, states, obs)
     jax.block_until_ready(ctrl)
     dt = time.perf_counter() - t0
-
     steps_per_sec = NUM_EGO * ITERS / dt
+
+    # latency: synchronized per tick
+    lat = []
+    for _ in range(max(ITERS // 2, 3)):
+        t1 = time.perf_counter()
+        ctrl, states = tick(params, states, obs)
+        jax.block_until_ready(ctrl)
+        lat.append(time.perf_counter() - t1)
+    p50 = sorted(lat)[len(lat) // 2]
     print(json.dumps({
         "metric": "v2_fused_agent_steps_per_sec_per_chip",
         "value": round(steps_per_sec, 2),
         "unit": "steps/s",
         "vs_baseline": round(steps_per_sec / BASELINE_STEPS_PER_SEC, 3),
+        "p50_tick_latency_ms": round(p50 * 1000, 2),
+        "num_ego": NUM_EGO,
     }))
 
 

@@ -41,6 +41,8 @@ def main():
     p.add_argument("--v2", action="store_true")
     p.add_argument("--tiny", action="store_true")
     p.add_argument("--max-points", type=int, default=2048)
+    p.add_argument("--viz", default=None,
+                   help="directory to write per-tick BEV canvases (PNG)")
     args = p.parse_args()
 
     cfg = (tiny_config() if args.tiny
@@ -74,6 +76,27 @@ def main():
         print(f"tick {t:3d}: steer={controls[-1][0]:+.3f} "
               f"throttle={controls[-1][1]:.3f} brake={controls[-1][2]:.0f} "
               f"({dt * 1000:.1f} ms)")
+        if args.viz:
+            import os
+            from PIL import Image
+            from lav_tpu.utils.visualization import visualize_agent_tick
+
+            os.makedirs(args.viz, exist_ok=True)
+            canvas = visualize_agent_tick(
+                np.asarray(obs["lidar"][:, :2]),
+                np.asarray(aux["plan_locs"]),
+                np.asarray(aux["other_cast_locs"]),
+                np.asarray(aux["other_cast_cmds"]),
+                np.asarray(aux["other_valid"]),
+                np.asarray(aux["nxp"]),
+                pixels_per_meter=cfg.pixels_per_meter,
+                cmd_thresh=cfg.cmd_thresh,
+                min_x=int(cfg.min_x), max_x=int(cfg.max_x),
+                min_y=int(cfg.min_y), max_y=int(cfg.max_y),
+            )
+            Image.fromarray(canvas).save(
+                os.path.join(args.viz, f"tick_{t:04d}.png")
+            )
 
     c = np.asarray(controls)
     assert np.isfinite(c).all(), "non-finite control emitted"
