@@ -106,6 +106,29 @@ def test_crop_feature_shared_matches_tiled(rng):
     np.testing.assert_allclose(np.asarray(shared), np.asarray(tiled), atol=1e-6)
 
 
+def test_grid_sample_shared_custom_vjp_matches_autodiff(rng):
+    """The hand-written backward (wide-row scatter) must equal autodiff of
+    the tiled reference path w.r.t. the image."""
+    import jax
+    from lav_tpu.core.warp import grid_sample_shared, grid_sample
+
+    H, W, C, K = 12, 12, 6, 3
+    img = jnp.asarray(rng.normal(size=(H, W, C)).astype(np.float32))
+    grid = jnp.asarray(rng.uniform(-1.1, 1.1, size=(K, 5, 5, 2)).astype(np.float32))
+    cot = jnp.asarray(rng.normal(size=(K, 5, 5, C)).astype(np.float32))
+
+    d_custom = jax.grad(
+        lambda im: (grid_sample_shared(im, grid) * cot).sum()
+    )(img)
+    d_ref = jax.grad(
+        lambda im: (
+            grid_sample(jnp.broadcast_to(im[None], (K, H, W, C)), grid) * cot
+        ).sum()
+    )(img)
+    np.testing.assert_allclose(np.asarray(d_custom), np.asarray(d_ref),
+                               atol=1e-4)
+
+
 def test_grid_sample_gradients_flow(rng):
     import jax
 
