@@ -151,7 +151,9 @@ def lidar_model_apply(
     box, st_b = _head(p["box_head"], features, train)
     ori, st_o = _head(p["ori_head"], features, train)
     seg, st_s = _head(p["seg_head"], features, train)
-    seg = jax.nn.sigmoid(seg)
+    # final sigmoid in f32: bf16 sigmoid saturates to exactly 1.0 near
+    # logit~6, and the BCE backward 1/(1-p) through it is then non-finite
+    seg = jax.nn.sigmoid(seg.astype(jnp.float32))
     state = {
         "point_pillar": st_pp,
         "backbone": st_bb,

@@ -168,17 +168,20 @@ def batchnorm(p, x, train: bool, mask=None, eps: float = 1e-5,
     """
     if train:
         axes = tuple(range(x.ndim - 1))
+        # statistics always in f32: bf16 mean/var are too coarse to train
+        # with (identity cast for f32 inputs — numerics unchanged there)
+        xs = x.astype(jnp.float32)
         if mask is None:
-            mean = x.mean(axis=axes)
-            var = ((x - mean) ** 2).mean(axis=axes)
+            mean = xs.mean(axis=axes)
+            var = ((xs - mean) ** 2).mean(axis=axes)
             n = math.prod([x.shape[a] for a in axes])
-            n = jnp.asarray(n, dtype=x.dtype)
+            n = jnp.asarray(n, dtype=jnp.float32)
         else:
-            m = mask.astype(x.dtype)[..., None]
+            m = mask.astype(jnp.float32)[..., None]
             n = jnp.maximum(m.sum(), 1.0)
-            mean = (x * m).sum(axis=axes) / n
-            var = (((x - mean) ** 2) * m).sum(axis=axes) / n
-        y = (x - mean) * jax.lax.rsqrt(var + eps)
+            mean = (xs * m).sum(axis=axes) / n
+            var = (((xs - mean) ** 2) * m).sum(axis=axes) / n
+        y = (xs - mean) * jax.lax.rsqrt(var + eps)
         unbiased = var * n / jnp.maximum(n - 1.0, 1.0)
         new_stats = {
             "mean": (1 - momentum) * p["mean"] + momentum * mean,

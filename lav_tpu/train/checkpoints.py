@@ -55,7 +55,9 @@ def load_checkpoint(path: str, like: Any):
     path = os.path.abspath(path)
     if _HAVE_ORBAX and os.path.isdir(path):
         ckpt = ocp.StandardCheckpointer()
-        return ckpt.restore(path, like)
+        # orbax accepts ndarray/jax.Array/ShapeDtypeStruct template leaves
+        # but rejects bare numpy scalars (np.int64(0)) — normalize
+        return ckpt.restore(path, jax.tree.map(np.asarray, like))
     data = np.load(path + ".npz", allow_pickle=True)
     flat, treedef = jax.tree.flatten(like)
     leaves = [data[f"leaf_{i}"] for i in range(len(flat))]

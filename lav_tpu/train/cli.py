@@ -20,6 +20,7 @@ import os
 import numpy as np
 
 import jax
+import jax.numpy as jnp
 import optax
 
 from lav_tpu.config import load_config, v1_config, v2_config
@@ -171,7 +172,8 @@ def main_full(args):
     defaults = dict(bs=32, epochs=64)
     steps_per_epoch = max(len(ds) // defaults["bs"], 1)
     opt = optax.adam(step_lr(args.lr, steps_per_epoch, 16))
-    step = make_full_train_step(cfg, opt, v2=args.v2, mode=mode)
+    step = make_full_train_step(cfg, opt, v2=args.v2, mode=mode,
+                                compute_dtype=jnp.dtype(args.dtype))
     _train_loop("full", cfg, args, params, step, ds, opt, defaults)
 
 
@@ -184,6 +186,9 @@ def main():
         if stage == "full":
             sp.add_argument("--perceive-only", action="store_true")
             sp.add_argument("--motion-only", action="store_true")
+            sp.add_argument("--dtype", default="float32",
+                            choices=["float32", "bfloat16"],
+                            help="compute dtype (losses/params stay f32)")
     args = p.parse_args()
     {"bev": main_bev, "seg": main_seg, "bra": main_bra,
      "full": main_full}[args.stage](args)

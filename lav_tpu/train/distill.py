@@ -31,7 +31,7 @@ from lav_tpu.utils.tree import merge_bn_state
 
 
 def make_full_train_step(cfg: LAVConfig, optimizer, v2: bool = False,
-                         mode: str = "full"):
+                         mode: str = "full", compute_dtype=None):
     """params: {'lidar_model': ..., 'uniplanner': ...}.
 
     batch keys: lidar (B,P,D), lidar_valid (B,P), heatmaps/sizemaps/orimaps
@@ -57,14 +57,22 @@ def make_full_train_step(cfg: LAVConfig, optimizer, v2: bool = False,
         pixels_per_meter=cfg.pixels_per_meter, num_features=cfg.num_features,
     )
 
+    cdt = compute_dtype or jnp.float32
+
     def step(params, opt_state, batch, rng):
         def loss_fn(p):
             feats, hm, size, ori, pred_bev, st_lidar = lidar_model_apply(
-                p["lidar_model"], batch["lidar"], batch["lidar_valid"],
-                train=True, **lidar_kw,
+                p["lidar_model"], batch["lidar"].astype(cdt),
+                batch["lidar_valid"], train=True, **lidar_kw,
             )
+            # losses in f32 (log/abs on bf16 probs is too coarse)
+            hm = hm.astype(jnp.float32)
+            size = size.astype(jnp.float32)
+            ori = ori.astype(jnp.float32)
+            pred_bev = pred_bev.astype(jnp.float32)
             out, st_uni = uniplanner_forward(
-                p["uniplanner"], cfg, feats, batch["bev"], batch["ego_locs"],
+                p["uniplanner"], cfg, feats, batch["bev"].astype(cdt),
+                batch["ego_locs"],
                 batch["locs"], batch["oris"], batch["nxps"], batch["typs"],
                 rng, train=True,
             )

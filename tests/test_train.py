@@ -89,6 +89,60 @@ def test_full_train_step_and_teacher_frozen(rng):
         np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
 
 
+def test_full_train_step_bf16(rng):
+    """Mixed precision: bf16 compute, f32 losses/params/BN-stats. Loss stays
+    finite over several steps, tracks the f32 loss closely on step 1, and the
+    student actually moves."""
+    cfg = CFG
+    k1, k2 = jax.random.split(jax.random.key(2))
+    params = {
+        "lidar_model": lidar_model_init(k1, cfg.num_input, cfg.num_features),
+        "uniplanner": uniplanner_init(k2, cfg),
+    }
+    opt = optax.adam(1e-3)
+    opt_state = opt.init(params)
+    step16 = jax.jit(
+        make_full_train_step(cfg, opt, v2=False, mode="full",
+                             compute_dtype=jnp.bfloat16)
+    )
+    step32 = jax.jit(make_full_train_step(cfg, opt, v2=False, mode="full"))
+
+    B, P = 2, 64
+    T, N = cfg.num_plan, cfg.max_objs
+    batch = dict(
+        lidar=jnp.asarray(
+            rng.uniform(-4, 10, size=(B, P, cfg.num_input - 5)).astype(np.float32)
+        ),
+        lidar_valid=jnp.ones((B, P), bool),
+        heatmaps=jnp.asarray(rng.uniform(size=(B, 2, cfg.ny, cfg.nx)).astype(np.float32)),
+        sizemaps=jnp.asarray(rng.uniform(size=(B, 2, cfg.ny, cfg.nx)).astype(np.float32)),
+        orimaps=jnp.asarray(rng.uniform(size=(B, 2, cfg.ny, cfg.nx)).astype(np.float32)),
+        bev=jnp.asarray((rng.uniform(size=(B, cfg.ny, cfg.nx, 5)) > 0.5).astype(np.float32)),
+        ego_locs=jnp.asarray(rng.normal(size=(B, T + 1, 2)).astype(np.float32)),
+        cmds=jnp.zeros((B,), jnp.int32),
+        nxps=jnp.zeros((B, 2)),
+        bras=jnp.zeros((B,), jnp.int32),
+        locs=jnp.asarray(rng.normal(size=(B, N, T + 1, 2)).astype(np.float32)),
+        oris=jnp.zeros((B, N)),
+        typs=jnp.ones((B, N), jnp.int32),
+    )
+
+    _, _, m32 = step32(params, opt_state, batch, jax.random.key(3))
+    p16, o16, m16 = step16(params, opt_state, batch, jax.random.key(3))
+    l32, l16 = float(m32["loss"]), float(m16["loss"])
+    assert np.isfinite(l16)
+    assert abs(l16 - l32) / max(abs(l32), 1e-6) < 0.05, (l16, l32)
+    # params stay f32 and the student moved
+    for leaf in jax.tree.leaves(p16):
+        assert leaf.dtype != jnp.bfloat16
+    before = jax.tree.leaves(params["lidar_model"])[0]
+    after = jax.tree.leaves(p16["lidar_model"])[0]
+    assert not np.array_equal(np.asarray(before), np.asarray(after))
+    for i in range(2):
+        p16, o16, m16 = step16(p16, o16, batch, jax.random.key(10 + i))
+        assert np.isfinite(float(m16["loss"]))
+
+
 def test_bev_train_step_data_parallel(rng):
     """Same step on an 8-device mesh with a sharded batch: runs and stays
     finite (gradient all-reduce inserted by XLA)."""
