@@ -31,7 +31,8 @@ from lav_tpu.utils.tree import merge_bn_state
 
 
 def make_full_train_step(cfg: LAVConfig, optimizer, v2: bool = False,
-                         mode: str = "full", compute_dtype=None):
+                         mode: str = "full", compute_dtype=None,
+                         remat: bool = False):
     """params: {'lidar_model': ..., 'uniplanner': ...}.
 
     batch keys: lidar (B,P,D), lidar_valid (B,P), heatmaps/sizemaps/orimaps
@@ -59,22 +60,38 @@ def make_full_train_step(cfg: LAVConfig, optimizer, v2: bool = False,
 
     cdt = compute_dtype or jnp.float32
 
+    # rematerialization: recompute the perception/planner forwards in the
+    # backward pass instead of saving every conv activation — trades ~1/3
+    # more FLOPs for the memory to reach the reference bs=256/512 regime
+    # (matmul/conv outputs without batch dims stay saved: dots policy).
+    def lidar_fwd(p, pts, valid):
+        return lidar_model_apply(p, pts, valid, train=True, **lidar_kw)
+
+    def planner_fwd(p, feats, bev, ego_locs, locs, oris, nxps, typs, rng):
+        return uniplanner_forward(p, cfg, feats, bev, ego_locs, locs,
+                                  oris, nxps, typs, rng, train=True)
+
+    if remat:
+        policy = jax.checkpoint_policies.dots_with_no_batch_dims_saveable
+        lidar_fwd = jax.checkpoint(lidar_fwd, policy=policy)
+        planner_fwd = jax.checkpoint(planner_fwd, policy=policy)
+
     def step(params, opt_state, batch, rng):
         def loss_fn(p):
-            feats, hm, size, ori, pred_bev, st_lidar = lidar_model_apply(
+            feats, hm, size, ori, pred_bev, st_lidar = lidar_fwd(
                 p["lidar_model"], batch["lidar"].astype(cdt),
-                batch["lidar_valid"], train=True, **lidar_kw,
+                batch["lidar_valid"],
             )
             # losses in f32 (log/abs on bf16 probs is too coarse)
             hm = hm.astype(jnp.float32)
             size = size.astype(jnp.float32)
             ori = ori.astype(jnp.float32)
             pred_bev = pred_bev.astype(jnp.float32)
-            out, st_uni = uniplanner_forward(
-                p["uniplanner"], cfg, feats, batch["bev"].astype(cdt),
+            out, st_uni = planner_fwd(
+                p["uniplanner"], feats, batch["bev"].astype(cdt),
                 batch["ego_locs"],
                 batch["locs"], batch["oris"], batch["nxps"], batch["typs"],
-                rng, train=True,
+                rng,
             )
             cmds = batch["cmds"].astype(jnp.int32)
 

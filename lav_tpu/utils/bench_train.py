@@ -58,7 +58,8 @@ def bench_bev(bs: int, v2: bool):
     return timeit_steps(step, params, opt_state, batch, jax.random.key(1))
 
 
-def bench_full(bs: int, v2: bool, max_points: int, dtype="float32"):
+def bench_full(bs: int, v2: bool, max_points: int, dtype="float32",
+               remat=False):
     from lav_tpu.config import v1_config, v2_config
     from lav_tpu.models.lidar import lidar_model_init
     from lav_tpu.models.planner import uniplanner_init
@@ -90,7 +91,8 @@ def bench_full(bs: int, v2: bool, max_points: int, dtype="float32"):
         typs=jnp.ones((bs, N), jnp.int32),
     )
     step = jax.jit(make_full_train_step(
-        cfg, opt, v2=v2, mode="full", compute_dtype=jnp.dtype(dtype)))
+        cfg, opt, v2=v2, mode="full", compute_dtype=jnp.dtype(dtype),
+        remat=remat))
     return timeit_steps(step, params, opt_state, batch, jax.random.key(1))
 
 
@@ -102,13 +104,14 @@ def main():
     p.add_argument("--max-points", type=int, default=16384)
     p.add_argument("--dtype", default="float32",
                    choices=["float32", "bfloat16"])
+    p.add_argument("--remat", action="store_true")
     args = p.parse_args()
 
     if args.stage == "bev":
         sec = bench_bev(args.batch_size, args.v2)
     else:
         sec = bench_full(args.batch_size, args.v2, args.max_points,
-                         args.dtype)
+                         args.dtype, args.remat)
     print(json.dumps({
         "stage": args.stage, "v2": args.v2, "batch_size": args.batch_size,
         "dtype": args.dtype,

@@ -143,6 +143,75 @@ def test_full_train_step_bf16(rng):
         assert np.isfinite(float(m16["loss"]))
 
 
+def test_full_train_step_remat_matches(rng):
+    """remat=True must be a pure memory/compute trade: identical loss."""
+    cfg = CFG
+    k1, k2 = jax.random.split(jax.random.key(4))
+    params = {
+        "lidar_model": lidar_model_init(k1, cfg.num_input, cfg.num_features),
+        "uniplanner": uniplanner_init(k2, cfg),
+    }
+    opt = optax.adam(1e-3)
+    opt_state = opt.init(params)
+    B, P = 2, 64
+    T, N = cfg.num_plan, cfg.max_objs
+    batch = dict(
+        lidar=jnp.asarray(
+            rng.uniform(-4, 10, size=(B, P, cfg.num_input - 5)).astype(np.float32)
+        ),
+        lidar_valid=jnp.ones((B, P), bool),
+        heatmaps=jnp.asarray(rng.uniform(size=(B, 2, cfg.ny, cfg.nx)).astype(np.float32)),
+        sizemaps=jnp.asarray(rng.uniform(size=(B, 2, cfg.ny, cfg.nx)).astype(np.float32)),
+        orimaps=jnp.asarray(rng.uniform(size=(B, 2, cfg.ny, cfg.nx)).astype(np.float32)),
+        bev=jnp.asarray((rng.uniform(size=(B, cfg.ny, cfg.nx, 5)) > 0.5).astype(np.float32)),
+        ego_locs=jnp.asarray(rng.normal(size=(B, T + 1, 2)).astype(np.float32)),
+        cmds=jnp.zeros((B,), jnp.int32),
+        nxps=jnp.zeros((B, 2)),
+        bras=jnp.zeros((B,), jnp.int32),
+        locs=jnp.asarray(rng.normal(size=(B, N, T + 1, 2)).astype(np.float32)),
+        oris=jnp.zeros((B, N)),
+        typs=jnp.ones((B, N), jnp.int32),
+    )
+    outs = {}
+    for rm in (False, True):
+        step = jax.jit(make_full_train_step(cfg, opt, v2=False, mode="full",
+                                            remat=rm))
+        p, _, m = step(params, opt_state, batch, jax.random.key(7))
+        outs[rm] = (float(m["loss"]), jax.tree.leaves(p["lidar_model"])[0])
+    assert np.isfinite(outs[False][0])
+    np.testing.assert_allclose(outs[False][0], outs[True][0], rtol=1e-6)
+    np.testing.assert_allclose(
+        np.asarray(outs[False][1]), np.asarray(outs[True][1]), rtol=1e-5,
+        atol=1e-7,
+    )
+
+
+def test_bev_train_step_grad_accum(rng):
+    """optax.MultiSteps(k=2): weights frozen until the k-th micro-step,
+    then one averaged update (BN uses per-micro batch statistics, matching
+    the reference's per-replica DataParallel BN — so the update is the
+    mean of micro-grads, not bit-equal to one full-batch step)."""
+    cfg = CFG
+    params0 = bev_planner_init(jax.random.key(0), cfg)
+    full = _bev_batch(rng, cfg, B=4)
+    micro0 = jax.tree.map(lambda x: x[:2], full)
+    micro1 = jax.tree.map(lambda x: x[2:], full)
+
+    acc = optax.MultiSteps(optax.adam(1e-3), every_k_schedule=2)
+    acc_state = acc.init(params0)
+    astep = jax.jit(make_bev_train_step(cfg, acc))
+
+    w0 = np.asarray(jax.tree.leaves(params0["bev_conv_emb"])[0])
+    p1, acc_state, m1 = astep(params0, acc_state, micro0, jax.random.key(0))
+    # conv weights untouched until the k-th micro-step
+    np.testing.assert_array_equal(
+        np.asarray(jax.tree.leaves(p1["bev_conv_emb"])[0]), w0)
+    p2, acc_state, m2 = astep(p1, acc_state, micro1, jax.random.key(0))
+    w2 = np.asarray(jax.tree.leaves(p2["bev_conv_emb"])[0])
+    assert not np.array_equal(w2, w0)
+    assert np.isfinite(float(m1["loss"])) and np.isfinite(float(m2["loss"]))
+
+
 def test_bev_train_step_data_parallel(rng):
     """Same step on an 8-device mesh with a sharded batch: runs and stays
     finite (gradient all-reduce inserted by XLA)."""
