@@ -84,12 +84,36 @@ def main():
         jax.block_until_ready(ctrl)
         lat.append(time.perf_counter() - t1)
     p50 = sorted(lat)[len(lat) // 2]
+
+    # single-ego synchronous tick: what a live 20 Hz CARLA deployment sees
+    # (budget 50 ms, /root/reference/config.yaml:4)
+    @functools.partial(jax.jit, donate_argnums=(1,))
+    def tick1(params, state, ob):
+        ctrl, new_state, _ = step(params, state, ob)
+        return ctrl, new_state
+    state1 = jax.tree.map(lambda x: x[0], states)
+    obs1 = jax.tree.map(lambda x: x[0], obs)
+    tick1c = tick1.lower(params, state1, obs1).compile()
+    log("single-ego compiled")
+    for _ in range(WARMUP):
+        c1, state1 = tick1c(params, state1, obs1)
+    jax.block_until_ready(c1)
+    lat1 = []
+    for _ in range(max(ITERS, 10)):
+        t1 = time.perf_counter()
+        c1, state1 = tick1c(params, state1, obs1)
+        jax.block_until_ready(c1)
+        lat1.append(time.perf_counter() - t1)
+    p50_1 = sorted(lat1)[len(lat1) // 2]
+    log(f"single-ego p50 {p50_1 * 1000:.2f} ms")
+
     print(json.dumps({
         "metric": "v2_fused_agent_steps_per_sec_per_chip",
         "value": round(steps_per_sec, 2),
         "unit": "steps/s",
         "vs_baseline": round(steps_per_sec / BASELINE_STEPS_PER_SEC, 3),
         "p50_tick_latency_ms": round(p50 * 1000, 2),
+        "p50_single_ego_ms": round(p50_1 * 1000, 2),
         "num_ego": NUM_EGO,
     }))
 

@@ -64,11 +64,15 @@ class DataLoader:
         stop = object()
 
         def producer():
+            # Exceptions must reach the consumer: a bare stop sentinel once
+            # silently ended epochs when device_put raised inside this
+            # thread (a bs/mesh mismatch trained ZERO steps yet "passed").
             try:
                 for b in self._host_batches():
                     q.put(put_device(b))
-            finally:
                 q.put(stop)
+            except BaseException as e:  # noqa: BLE001 — re-raised in consumer
+                q.put(e)
 
         t = threading.Thread(target=producer, daemon=True)
         t.start()
@@ -76,4 +80,8 @@ class DataLoader:
             b = q.get()
             if b is stop:
                 return
+            if isinstance(b, BaseException):
+                raise RuntimeError(
+                    "DataLoader producer thread failed"
+                ) from b
             yield b

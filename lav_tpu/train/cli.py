@@ -85,6 +85,13 @@ def _train_loop(stage, cfg, args, params, make_step, dataset, optimizer,
     bs = args.batch_size or defaults["bs"]
     epochs = args.num_epoch or defaults["epochs"]
     mesh = make_mesh()
+    n_dev = mesh.devices.size
+    if bs % n_dev:
+        raise ValueError(
+            f"batch size {bs} is not divisible by the {n_dev}-device data "
+            f"mesh; pick a multiple of {n_dev} "
+            f"(e.g. --batch-size {-(-bs // n_dev) * n_dev})"
+        )
     params = replicate(mesh, params)
     opt_state = replicate(mesh, optimizer.init(params))
     start_epoch, it = 0, 0
@@ -130,6 +137,12 @@ def _train_loop(stage, cfg, args, params, make_step, dataset, optimizer,
             ))
             print(f"saved {path}")
     logger.close()
+    if it == 0 and epochs > start_epoch:
+        raise RuntimeError(
+            f"[{stage}] trained ZERO steps over {epochs - start_epoch} "
+            f"epoch(s) — dataset ({len(dataset)} samples) shorter than one "
+            f"batch ({bs})?"
+        )
     return params
 
 

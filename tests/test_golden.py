@@ -23,10 +23,17 @@ CFG = tiny_config()
 def _check(name, arrays: dict):
     path = os.path.join(GOLDEN_DIR, name + ".npz")
     arrays = {k: np.asarray(v) for k, v in arrays.items()}
-    if REGEN or not os.path.exists(path):
+    if REGEN:
         os.makedirs(GOLDEN_DIR, exist_ok=True)
         np.savez_compressed(path, **arrays)
         pytest.skip(f"golden {name} (re)generated")
+    if not os.path.exists(path):
+        # a missing golden is a FAILURE, not a silent re-pin: deleting or
+        # renaming a golden must never quietly adopt current behavior
+        pytest.fail(
+            f"golden file {path} missing — regenerate deliberately with "
+            f"REGEN_GOLDEN=1 if the change is intended"
+        )
     ref = np.load(path)
     for k, v in arrays.items():
         np.testing.assert_allclose(

@@ -35,16 +35,60 @@ def test_train_loop_bev_one_epoch(tmp_path, episode):
     params = bev_planner_init(jax.random.key(0), cfg)
     opt = optax.adam(1e-3)
     step = make_bev_train_step(cfg, opt, v2=False)
+    # bs must divide the 8-device test mesh (a bs=4/8-device run once
+    # trained zero steps silently; it now fails loudly — see below)
     args = argparse.Namespace(
-        batch_size=4, num_epoch=1, seed=0, num_per_log=1, num_per_save=1,
+        batch_size=8, num_epoch=1, seed=0, num_per_log=1, num_per_save=1,
         save_dir=str(tmp_path), log_wandb=False, resume=None,
     )
     out = _train_loop("bev", cfg, args, params, step, ds, opt,
-                      dict(bs=4, epochs=1), v2_extra_arg=True)
+                      dict(bs=8, epochs=1), v2_extra_arg=True)
     assert out is not None
     # checkpoint written
     runs = [p for p in (tmp_path / "bev").rglob("*") if "bev_1" in str(p)]
     assert runs, list((tmp_path / "bev").rglob("*"))
+    # at least one step actually trained and was logged
+    metrics = (tmp_path / "bev" / "metrics.jsonl").read_text().strip()
+    assert metrics, "no steps were logged — loop silently trained nothing"
+    assert "loss" in json.loads(metrics.splitlines()[0])
+
+
+def test_train_loop_rejects_indivisible_batch(tmp_path, episode):
+    """bs not divisible by the mesh must fail loudly, not train 0 steps."""
+    import argparse
+    import optax
+    from lav_tpu.train.cli import _train_loop
+    from lav_tpu.train.privileged import make_bev_train_step
+    from lav_tpu.data.datasets import get_dataset
+    from lav_tpu.models.planner import bev_planner_init
+
+    cfg = tiny_config()
+    ds = get_dataset("bev", cfg, [episode])
+    params = bev_planner_init(jax.random.key(0), cfg)
+    opt = optax.adam(1e-3)
+    step = make_bev_train_step(cfg, opt, v2=False)
+    args = argparse.Namespace(
+        batch_size=3, num_epoch=1, seed=0, num_per_log=1, num_per_save=1,
+        save_dir=str(tmp_path), log_wandb=False, resume=None,
+    )
+    with pytest.raises(ValueError, match="not divisible"):
+        _train_loop("bev", cfg, args, params, step, ds, opt,
+                    dict(bs=3, epochs=1), v2_extra_arg=True)
+
+
+def test_loader_propagates_producer_exceptions(episode):
+    """A crash in the prefetch thread must surface, not end the epoch."""
+    from lav_tpu.data.loader import DataLoader
+
+    class Broken:
+        def __len__(self):
+            return 4
+
+        def __getitem__(self, i):
+            raise KeyError(f"boom {i}")
+
+    with pytest.raises(RuntimeError, match="producer thread failed"):
+        list(DataLoader(Broken(), batch_size=2, shuffle=False))
 
 
 def test_paint_job_commits_semantics(episode):
