@@ -45,8 +45,14 @@ def compute_pillar_ids(
       keep (..., P) bool — in-range AND caller-valid
       ix, iy (..., P) int32 integer grid coords (pre canvas-flip)
 
-    Canvas layout matches the reference scatter (point_pillar.py:87-90):
-    row = ny-1-iy, col = ix.
+    Canvas layout matches the reference scatter (point_pillar.py:87-90),
+    whose padded coords are (batch, x_idx, y_idx):
+        row = clamp(ny-1 - x_idx), col = clamp(y_idx)
+    i.e. the FORWARD (x) axis runs up the rows (ego near the bottom) and the
+    lateral (y) axis along the columns — the BEV-image orientation every
+    downstream consumer assumes (heatmap targets lidar_dataset.py:108-114,
+    ego pixel lav_agent.py:94, planner crops).  Round-1 had this transposed;
+    caught by tests/test_oracle_torch.py::test_oracle_lidar_model.
     """
     x, y = points[..., 0], points[..., 1]
     keep = (
@@ -58,10 +64,10 @@ def compute_pillar_ids(
     )
     ix = jnp.floor((x - min_x) * pixels_per_meter).astype(jnp.int32)
     iy = jnp.floor((y - min_y) * pixels_per_meter).astype(jnp.int32)
-    ix = jnp.clip(ix, 0, nx - 1)
-    iy = jnp.clip(iy, 0, ny - 1)
-    row = ny - 1 - iy
-    pid = jnp.where(keep, row * nx + ix, ny * nx)
+    ix = jnp.clip(ix, 0, ny - 1)   # becomes the (flipped) row
+    iy = jnp.clip(iy, 0, nx - 1)   # becomes the column
+    row = ny - 1 - ix
+    pid = jnp.where(keep, row * nx + iy, ny * nx)
     return pid, keep, ix, iy
 
 
@@ -98,14 +104,21 @@ def decorate_points(points, pid, keep, ix, iy, *, min_x, min_y,
     (point_pillar.py:55-68): xyz offset from the pillar's point-cluster
     mean (3) and xy offset from the pillar cell origin (2).
 
+    QUIRK (load-bearing for checkpoint parity): the reference's decorate
+    reads the padded coords (batch, x_idx, y_idx) with CROSSED columns —
+    x_centers from y_idx + min_x, y_centers from x_idx + min_y
+    (point_pillar.py:57-58).  The offsets are therefore not true cell
+    offsets, but the released models trained with exactly these features;
+    reproduce, don't fix.
+
     num_segments: override the segment-space size (callers that fold a
     batch axis into pid pass B * (ny*nx+1))."""
     num_segments = num_segments or (ny * nx + 1)
     xyz = points[..., :3]
     cluster = xyz - _segment_mean_gather(xyz, pid, keep, num_segments,
                                          indices_sorted=indices_sorted)
-    x_center = ix.astype(points.dtype) / pixels_per_meter + min_x
-    y_center = iy.astype(points.dtype) / pixels_per_meter + min_y
+    x_center = iy.astype(points.dtype) / pixels_per_meter + min_x
+    y_center = ix.astype(points.dtype) / pixels_per_meter + min_y
     xp = points[..., 0] - x_center
     yp = points[..., 1] - y_center
     return jnp.concatenate(

@@ -15,9 +15,11 @@ def _oracle(params, pts, valid, num_features):
     P, D = pts.shape
     keep = valid & (pts[:, 0] >= GEO["min_x"]) & (pts[:, 0] < GEO["max_x"]) \
         & (pts[:, 1] >= GEO["min_y"]) & (pts[:, 1] < GEO["max_y"])
-    ix = np.clip(np.floor((pts[:, 0] - GEO["min_x"]) * 2).astype(int), 0, NX - 1)
-    iy = np.clip(np.floor((pts[:, 1] - GEO["min_y"]) * 2).astype(int), 0, NY - 1)
-    row, col = NY - 1 - iy, ix
+    # reference convention (point_pillar.py:87-90): row = ny-1-x_idx,
+    # col = y_idx — forward axis up the rows, lateral along the columns
+    ix = np.clip(np.floor((pts[:, 0] - GEO["min_x"]) * 2).astype(int), 0, NY - 1)
+    iy = np.clip(np.floor((pts[:, 1] - GEO["min_y"]) * 2).astype(int), 0, NX - 1)
+    row, col = NY - 1 - ix, iy
 
     canvas = np.zeros((NY, NX, num_features[-1]), np.float32)
     for r in range(NY):
@@ -27,8 +29,9 @@ def _oracle(params, pts, valid, num_features):
                 continue
             group = pts[sel]
             mean = group[:, :3].mean(0)
-            xc = ix[sel][:, None] / 2.0 + GEO["min_x"]
-            yc = iy[sel][:, None] / 2.0 + GEO["min_y"]
+            # crossed centers — reference decorate quirk (point_pillar.py:57)
+            xc = iy[sel][:, None] / 2.0 + GEO["min_x"]
+            yc = ix[sel][:, None] / 2.0 + GEO["min_y"]
             dec = np.concatenate(
                 [group, group[:, :3] - mean, group[:, :1] - xc,
                  group[:, 1:2] - yc], -1)
