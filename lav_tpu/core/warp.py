@@ -244,6 +244,17 @@ def _crop_theta(rel_locs, rel_oris, H, W, pixels_per_meter, crop_size,
     return jnp.stack([row0, row1], axis=-2)  # (K, 2, 3)
 
 
+def pallas_crop_available() -> bool:
+    """True when the fused Pallas crop kernel can run (TPU backend).
+
+    Decided at trace time (backend identity is static); CPU tests and the
+    goldens keep the XLA gather path bit-for-bit."""
+    try:
+        return jax.default_backend() == "tpu"
+    except Exception:
+        return False
+
+
 def crop_feature_shared(
     features,
     rel_locs,
@@ -253,6 +264,8 @@ def crop_feature_shared(
     crop_size: int,
     offset_x: float = 0.0,
     offset_y: float = 0.75,
+    use_pallas: bool = False,
+    pallas_interpret: bool = False,
 ):
     """K rotated crops from ONE feature map.
 
@@ -261,11 +274,24 @@ def crop_feature_shared(
     `crop_feature` but without materializing K copies of the source —
     use this whenever many actors crop the same map (the planners' hot
     path, reference bev_planner.py:94 / uniplanner.py:77-78).
+
+    use_pallas: route the sampling through the fused tile+MXU kernel
+    (core/warp_pallas.py) when the shapes qualify — the crop sampling is
+    a rigid transform with bounded step, which is exactly what the kernel
+    requires.  Falls back to the XLA gather otherwise.
     """
     H, W, _ = features.shape
     theta = _crop_theta(rel_locs, rel_oris, H, W, pixels_per_meter,
                         crop_size, offset_x, offset_y, features.dtype)
     grid = affine_grid(theta, crop_size, crop_size)
+    if use_pallas:
+        from lav_tpu.core.warp_pallas import (
+            grid_sample_shared_pallas, supports,
+        )
+        # source px per output px of this crop's rigid transform
+        step = (crop_size / H) * (H - 1) / max(crop_size - 1, 1)
+        if supports(features.shape, (crop_size, crop_size), step):
+            return grid_sample_shared_pallas(features, grid, pallas_interpret)
     return grid_sample_shared(features, grid)
 
 

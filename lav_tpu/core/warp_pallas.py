@@ -1,0 +1,241 @@
+"""Pallas TPU kernel: fused multi-crop bilinear sampling from one source.
+
+Replaces the XLA (2,2,C)-slice gather form of `grid_sample_shared`
+(core/warp.py) on the agent's hot path — the detection-crop fetch was 69 ms
+of a ~185 ms 16-ego tick on v5e (4x byte inflation + per-slice issue cost;
+XLA's gather emitter streams the same 19.6 MB source from HBM once per
+2x2 tap).
+
+Key observation: the sampling grids are rigid transforms with scale <= ~1.3
+source px per output px, so any GS x GS block of output pixels reads from a
+bounded (<= TS x TS) axis-aligned source tile.  That turns the random-access
+gather into structure the TPU loves:
+
+  * the source map rides in VMEM as a channel block (BlockSpec constant
+    across the crop axis -> fetched once per channel block, not per tap);
+  * per output group, ONE aligned-rows dynamic slice pulls the (TS, TS, CB)
+    tile;
+  * exact align_corners=True zero-pad bilinear weights are built in
+    registers as a separable outer product  W[t, p] = wy(td(t), p) *
+    wx(tm(t), p)  with the hinge  w(u) = max(0, 1 - |pos - u|)  — identical
+    (including clamped-edge partial weights) to the XLA path's formula;
+  * the 4-tap lerp becomes one (TS*TS, GS*GS)^T x (TS*TS, CB) MXU matmul.
+
+Traffic per 16-ego v2 tick drops from ~6.8 GB of gathered slices to
+~0.9 GB of tile reads + the 1.7 GB crop write.
+
+Semantics: matches `grid_sample_shared` — weights computed in f32 then cast
+to the source dtype; matmul accumulates in f32 (the XLA einsum on bf16 does
+the same).  Gradients: same custom VJP (wide-row scatter-add backward, grid
+gets zero gradient).
+
+Reference for what this computes: /root/reference/lav/models/bev_planner.py
+:224-266 (crop_feature) and team_code_v2/model_inference.py:204-238.
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+TSY = 16  # source tile rows; must cover a group's taps:
+          # (GS-1)*step*sqrt(2)+3 <= TSY
+TSX = 24  # source tile cols; wider because the x start is aligned DOWN to a
+          # multiple of 8 — Mosaic crashes on unaligned dynamic sublane
+          # slices, and pl.multiple_of(tx, 8) takes the supported path
+
+
+def _pick_gs(step_px: float) -> int:
+    """Largest output-group edge whose taps fit the fixed tile.
+
+    Bigger groups mean fewer, larger MXU matmuls ((TSY*TSX, GS^2) lhs); the
+    agent's 0.6 px/px crops support GS=16, generic <=1.3 px/px crops GS=8.
+    """
+    for gs in (16, 8):
+        if (gs - 1) * step_px * 1.4143 + 3.0 <= TSY:
+            return gs
+    return 0
+
+
+def supports(img_shape, out_hw, step_px: float) -> bool:
+    """Static eligibility: shapes divisible, tile bound holds, source tall
+    enough for the tile slice."""
+    H, W, C = img_shape
+    Ho, Wo = out_hw
+    gs = _pick_gs(step_px)
+    return (
+        gs != 0
+        and Ho % gs == 0
+        and Wo % gs == 0
+        and H >= TSY
+        and W >= TSX
+        # channel blocks must be 128-divisible or full-C (Mosaic minor-dim
+        # rule); a full-C source block must also fit VMEM comfortably
+        and (C % 128 == 0 or H * W * C <= (1 << 21))
+    )
+
+
+def _kernel(starts_ref, fx_ref, fy_ref, src_ref, out_ref, *, ngx: int,
+            gs: int, unroll: bool):
+    """One (channel-block, crop) grid step: all output groups of one crop."""
+    CB = src_ref.shape[-1]
+    ng = fx_ref.shape[1]
+    dtype = src_ref.dtype
+    GS = gs
+
+    # hinge positions along each tile axis (f32, built once)
+    pos_y = jax.lax.broadcasted_iota(jnp.int32, (TSY, GS * GS), 0).astype(
+        jnp.float32
+    )
+    pos_x = jax.lax.broadcasted_iota(jnp.int32, (TSX, GS * GS), 0).astype(
+        jnp.float32
+    )
+
+    def body(g, _):
+        ty = starts_ref[0, g, 0]
+        tx = pl.multiple_of(starts_ref[0, g, 1], 8)
+        tile = src_ref[pl.ds(ty, TSY), pl.ds(tx, TSX), :].reshape(
+            TSY * TSX, CB
+        )
+
+        fx = fx_ref[0, pl.ds(g, 1), :]  # (1, GS*GS) f32, x pos rel to tile
+        fy = fy_ref[0, pl.ds(g, 1), :]
+        # exact zero-pad bilinear: w(u) = max(0, 1 - |pos - u|); only the two
+        # columns adjacent to each sample are nonzero, clamped edges get the
+        # same partial weights as the XLA path
+        wx = jnp.maximum(0.0, 1.0 - jnp.abs(fx - pos_x))  # (TSX, GS*GS)
+        wy = jnp.maximum(0.0, 1.0 - jnp.abs(fy - pos_y))  # (TSY, GS*GS)
+        w = (wy[:, None, :] * wx[None, :, :]).reshape(TSY * TSX, GS * GS)
+        acc = jax.lax.dot_general(
+            w.astype(dtype), tile,
+            (((0,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )  # (GS*GS, CB)
+
+        # the ox write offset lands on the sublane dim of the output block —
+        # Mosaic needs the same alignment hint as the tile reads
+        oy = pl.multiple_of((g // ngx) * GS, GS)
+        ox = pl.multiple_of((g % ngx) * GS, GS)
+        out_ref[0, pl.ds(oy, GS), pl.ds(ox, GS), :] = acc.reshape(
+            GS, GS, CB
+        ).astype(out_ref.dtype)
+        return 0
+
+    jax.lax.fori_loop(0, ng, body, 0, unroll=ng if unroll else 1)
+
+
+@functools.partial(
+    jax.jit, static_argnames=("cb", "gs", "interpret", "unroll")
+)
+def _grid_sample_pallas_impl(img, grid, cb: int, gs: int, interpret: bool,
+                             unroll: bool = True):
+    H, W, C = img.shape
+    K, Ho, Wo, _ = grid.shape
+    GS = gs
+    ngy, ngx = Ho // GS, Wo // GS
+    ng = ngy * ngx
+
+    ix = (grid[..., 0] + 1.0) * 0.5 * (W - 1)
+    iy = (grid[..., 1] + 1.0) * 0.5 * (H - 1)
+
+    def group_view(a):  # (K, Ho, Wo) -> (K, ng, GS*GS)
+        a = a.reshape(K, ngy, GS, ngx, GS).transpose(0, 1, 3, 2, 4)
+        return a.reshape(K, ng, GS * GS)
+
+    gx, gy = group_view(ix), group_view(iy)
+    x0 = jnp.clip(jnp.floor(gx), 0, W - 2).astype(jnp.int32)
+    y0 = jnp.clip(jnp.floor(gy), 0, H - 2).astype(jnp.int32)
+    # x starts aligned down to 8 (Mosaic dynamic sublane slices must be
+    # aligned); the clip target W - TSX is not necessarily 8-aligned, so
+    # align after the clip (alignment only lowers the start)
+    tx = (jnp.clip(jnp.min(x0, axis=-1), 0, W - TSX) // 8) * 8
+    ty = jnp.clip(jnp.min(y0, axis=-1), 0, H - TSY)
+    starts = jnp.stack([ty, tx], axis=-1)                      # (K, ng, 2)
+    fx = gx - tx[..., None].astype(jnp.float32)                # (K, ng, 64)
+    fy = gy - ty[..., None].astype(jnp.float32)
+
+    ncb = C // cb
+    # the source block alone can exceed Mosaic's default ~16 MB VMEM budget
+    # once double-buffered; v5e physically has far more — size the limit to
+    # the actual working set (the remote compile helper otherwise surfaces
+    # the overflow only as an opaque HTTP 500)
+    itemsize = jnp.dtype(img.dtype).itemsize
+    vmem_bytes = 2 * (H * W * cb + Ho * Wo * cb) * itemsize + (1 << 22)
+    return pl.pallas_call(
+        functools.partial(_kernel, ngx=ngx, gs=gs, unroll=unroll),
+        grid=(ncb, K),
+        in_specs=[
+            pl.BlockSpec((1, ng, 2), lambda c, k: (k, 0, 0),
+                         memory_space=pltpu.SMEM),
+            pl.BlockSpec((1, ng, GS * GS), lambda c, k: (k, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, ng, GS * GS), lambda c, k: (k, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((H, W, cb), lambda c, k: (0, 0, c),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((1, Ho, Wo, cb), lambda c, k: (k, 0, 0, c),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((K, Ho, Wo, C), img.dtype),
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=int(vmem_bytes)
+        ),
+        interpret=interpret,
+    )(starts, fx, fy, img)
+
+
+def _pick_cb(C: int, H: int, W: int, Ho: int, Wo: int,
+             itemsize: int) -> int:
+    """Largest channel block whose double-buffered working set fits VMEM.
+
+    Mosaic requires a block's minor dim to be 128-divisible or full-C.
+    Bigger blocks mean fewer grid passes and wider MXU matmuls; v5e has
+    128 MB VMEM, so the full C=384 agent block (53 MB) fits outright."""
+    budget = 96 << 20
+    per_c = 2 * (H * W + Ho * Wo) * itemsize
+    if C * per_c <= budget or C % 128 != 0:
+        return C
+    best = 128
+    for mult in range(2, C // 128 + 1):
+        cb = 128 * mult
+        if C % cb == 0 and cb * per_c <= budget:
+            best = cb
+    return best
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(2,))
+def grid_sample_shared_pallas(img, grid, interpret: bool = False):
+    """Drop-in for `grid_sample_shared` (img (H,W,C), grids (K,Ho,Wo,2) ->
+    (K,Ho,Wo,C)) via the fused tile+MXU kernel.  Caller must ensure
+    `supports(...)` — use `crop_feature_shared(..., use_pallas=True)`."""
+    H, W, C = img.shape
+    K, Ho, Wo, _ = grid.shape
+    # derive the worst-case step from the grid extents is not possible
+    # statically here; callers guarantee the supports() bound.  GS=16 is
+    # safe whenever the crop covers <= ~0.61 px/px; infer from the grid
+    # shape ratio the caller used (crop_feature_shared passes it via
+    # supports) — conservatively pick from the output/source ratio.
+    step = (Ho / H) * (H - 1) / max(Ho - 1, 1)
+    gs = _pick_gs(step) or 8
+    if Ho % gs or Wo % gs:
+        gs = 8
+    cb = _pick_cb(C, H, W, Ho, Wo, jnp.dtype(img.dtype).itemsize)
+    return _grid_sample_pallas_impl(img, grid, cb, gs, interpret)
+
+
+def _fwd(img, grid, interpret):
+    return grid_sample_shared_pallas(img, grid, interpret), (img, grid)
+
+
+def _bwd(interpret, res, g):
+    # identical backward to the XLA path: 4 wide-row scatter-adds
+    from lav_tpu.core.warp import _grid_sample_shared_bwd
+
+    return _grid_sample_shared_bwd(res, g)
+
+
+grid_sample_shared_pallas.defvjp(_fwd, _bwd)

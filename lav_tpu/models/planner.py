@@ -31,7 +31,9 @@ import jax.numpy as jnp
 
 from lav_tpu.config import LAVConfig
 from lav_tpu.core.geometry import transform_points
-from lav_tpu.core.warp import crop_feature, crop_feature_shared
+from lav_tpu.core.warp import (
+    crop_feature, crop_feature_shared, pallas_crop_available,
+)
 from lav_tpu.nn import layers as L
 from lav_tpu.nn.resnet import resnet18_init, resnet_apply
 
@@ -308,7 +310,8 @@ def uniplanner_init(key, cfg: LAVConfig, bev_planner_params=None):
 
 
 def uniplanner_forward(params, cfg: LAVConfig, features, bev, ego_locs, locs,
-                       oris, nxps, typs, rng, train: bool = True):
+                       oris, nxps, typs, rng, train: bool = True,
+                       use_pallas_crop: Optional[bool] = None):
     """Student forward with in-graph frozen teacher
     (reference uniplanner.py:56-150).
 
@@ -320,6 +323,8 @@ def uniplanner_forward(params, cfg: LAVConfig, features, bev, ego_locs, locs,
     ang_jit = math.radians(cfg.feature_angle_jitter)
     teacher = params["bev_planner"]
     r_sel, r_jit_o, r_jit_e = jax.random.split(rng, 3)
+    if use_pallas_crop is None:
+        use_pallas_crop = pallas_crop_available()
 
     ego_oris = oris[:, 0]
     o_locs, o_oris, o_typs = locs[:, 1:], oris[:, 1:], typs[:, 1:]
@@ -338,19 +343,22 @@ def uniplanner_forward(params, cfg: LAVConfig, features, bev, ego_locs, locs,
         loc_jit = jnp.zeros((B, K, 2))
         ori_jit = jnp.zeros((B, K))
 
-    def multi_crop(src, ppm, crop):
+    def multi_crop(src, ppm, crop, pallas):
         out = jax.vmap(
             lambda f, l, o: crop_feature_shared(
                 f, l, o, pixels_per_meter=ppm, crop_size=crop,
-                offset_y=cfg.y_offset,
+                offset_y=cfg.y_offset, use_pallas=pallas,
             )
         )(src, rel_loc0 + loc_jit, rel_ori0 + ori_jit)
         return out.reshape((B * K,) + out.shape[2:])
 
+    # the student feature crop is the distillation trainer's dominant fetch
+    # (48 GB at bs=128 through the XLA gather) — Pallas-kernel it on TPU;
+    # the narrow-channel BEV teacher crop stays on the XLA path
     crop_other_feat = multi_crop(features, cfg.pixels_per_meter / 2,
-                                 cfg.crop_size)
+                                 cfg.crop_size, use_pallas_crop)
     crop_other_bev = multi_crop(bev, cfg.pixels_per_meter,
-                                cfg.crop_size * 2)
+                                cfg.crop_size * 2, False)
 
     other_locs = transform_points(fut - loc_jit[:, :, None], -rel_ori0 - ori_jit)
 
@@ -436,7 +444,8 @@ def _det_chunk(K: int) -> int:
     return 1
 
 
-def uniplanner_infer(params, cfg: LAVConfig, features, det, cmd, nxp):
+def uniplanner_infer(params, cfg: LAVConfig, features, det, cmd, nxp,
+                     use_pallas_crop: Optional[bool] = None):
     """Fused inference for the agent (reference uniplanner.infer, :160-224,
     and the torchscript uniplanner_infer, model_inference.py:123-187) with
     fixed detection capacity.
@@ -460,13 +469,24 @@ def uniplanner_infer(params, cfg: LAVConfig, features, det, cmd, nxp):
     olocs = jnp.stack([(x - center_x) / ppm, (y - center_y) / ppm], axis=-1)
     ooris = jnp.arctan2(det["sin"], det["cos"])
     K = olocs.shape[0]
+    if use_pallas_crop is None:
+        use_pallas_crop = pallas_crop_available()
 
-    # Crop+embed all K detections.  In f32 the K 384-channel crops cost
-    # ~3.2 GB per gather tap at 16 vmapped egos (v5e OOM), so that path
-    # chunks through lax.map; in bf16 everything fits and the single big
+    # Crop+embed all K detections.  On TPU the fused Pallas tile+MXU kernel
+    # does this from a VMEM-resident source (2.9x the XLA gather and no
+    # multi-GB tap temps in f32).  The XLA f32 fallback chunks through
+    # lax.map: the K 384-channel crops cost ~3.2 GB per gather tap at 16
+    # vmapped egos (v5e OOM); in bf16 everything fits and the single big
     # gather is ~15x faster than the serialized chunks (measured: the
     # chunked while-loop was 130 ms/tick vs 8 ms unchunked).
-    if features.dtype == jnp.float32 and K > _det_chunk(K):
+    if use_pallas_crop:
+        crop_other = crop_feature_shared(
+            features, olocs, ooris,
+            pixels_per_meter=ppm / 2, crop_size=cfg.crop_size,
+            offset_y=cfg.y_offset, use_pallas=True,
+        )
+        other_embd, _ = _conv_emb(params["lidar_conv_emb"], crop_other, False)
+    elif features.dtype == jnp.float32 and K > _det_chunk(K):
         chunk = _det_chunk(K)
 
         def embed_chunk(args):
@@ -497,11 +517,18 @@ def uniplanner_infer(params, cfg: LAVConfig, features, det, cmd, nxp):
         other_cast_locs, ooris[:, None, None]
     ) + olocs[:, None, None]
 
-    crop_ego = crop_feature(
-        features[None], jnp.zeros((1, 2)), jnp.zeros((1,)),
-        pixels_per_meter=ppm / 2, crop_size=cfg.crop_size,
-        offset_y=cfg.y_offset,
-    )
+    if use_pallas_crop:
+        crop_ego = crop_feature_shared(
+            features, jnp.zeros((1, 2)), jnp.zeros((1,)),
+            pixels_per_meter=ppm / 2, crop_size=cfg.crop_size,
+            offset_y=cfg.y_offset, use_pallas=True,
+        )
+    else:
+        crop_ego = crop_feature(
+            features[None], jnp.zeros((1, 2)), jnp.zeros((1,)),
+            pixels_per_meter=ppm / 2, crop_size=cfg.crop_size,
+            offset_y=cfg.y_offset,
+        )
     ego_embd, _ = _conv_emb(params["lidar_conv_emb"], crop_ego, False)
     ego_cast_locs = cast(params, ego_embd, cfg.num_plan)
     ego_plan_all = plan(

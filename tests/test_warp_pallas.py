@@ -1,0 +1,82 @@
+"""Fused Pallas crop-sampling kernel vs the XLA gather path (interpret
+mode on CPU; the real-TPU timing lives in scripts/exp_crop_kernel.py)."""
+
+import numpy as np
+import pytest
+import jax
+import jax.numpy as jnp
+
+from lav_tpu.core.warp import (
+    affine_grid, _crop_theta, crop_feature_shared, grid_sample_shared,
+)
+from lav_tpu.core.warp_pallas import grid_sample_shared_pallas, supports
+
+
+def _random_grids(rng, K, H, W, crop, ppm=2.0, big_offsets=False):
+    scale = 8.0 if big_offsets else 2.0
+    locs = jnp.asarray(rng.uniform(-scale, scale, (K, 2)), jnp.float32)
+    oris = jnp.asarray(rng.uniform(-np.pi, np.pi, (K,)), jnp.float32)
+    theta = _crop_theta(locs, oris, H, W, ppm, crop, 0.0, 0.75)
+    return affine_grid(theta, crop, crop)
+
+
+@pytest.mark.parametrize("C", [64, 128])
+@pytest.mark.parametrize("big", [False, True])
+def test_pallas_crop_matches_xla(rng, C, big):
+    H = W = 40
+    crop = 24
+    K = 3
+    nrng = np.random.default_rng(3 if big else 4)
+    img = jnp.asarray(nrng.normal(size=(H, W, C)), jnp.float32)
+    grid = _random_grids(nrng, K, H, W, crop, big_offsets=big)
+    assert supports(img.shape, (crop, crop), crop / H * (H - 1) / (crop - 1))
+
+    ref = grid_sample_shared(img, grid)
+    out = grid_sample_shared_pallas(img, grid, True)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
+                               atol=1e-5, rtol=1e-5)
+
+
+def test_pallas_crop_feature_shared_route(rng):
+    """crop_feature_shared(use_pallas=True) == default path exactly (same
+    grids, interpret-mode kernel)."""
+    nrng = np.random.default_rng(5)
+    feats = jnp.asarray(nrng.normal(size=(32, 32, 64)), jnp.float32)
+    locs = jnp.asarray(nrng.uniform(-3, 3, (4, 2)), jnp.float32)
+    oris = jnp.asarray(nrng.uniform(-2, 2, (4,)), jnp.float32)
+    kw = dict(pixels_per_meter=2.0, crop_size=16, offset_y=0.5)
+    ref = crop_feature_shared(feats, locs, oris, **kw)
+    out = crop_feature_shared(feats, locs, oris, use_pallas=True,
+                              pallas_interpret=True, **kw)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
+                               atol=1e-5, rtol=1e-5)
+
+
+def test_pallas_crop_grad_matches_xla(rng):
+    """The custom VJP reuses the XLA wide-row scatter backward."""
+    nrng = np.random.default_rng(6)
+    img = jnp.asarray(nrng.normal(size=(24, 24, 8)), jnp.float32)
+    grid = _random_grids(nrng, 2, 24, 24, 16)
+
+    g_ref = jax.grad(lambda im: grid_sample_shared(im, grid).sum())(img)
+    g_pal = jax.grad(
+        lambda im: grid_sample_shared_pallas(im, grid, True).sum()
+    )(img)
+    np.testing.assert_allclose(np.asarray(g_pal), np.asarray(g_ref),
+                               atol=1e-5, rtol=1e-5)
+
+
+def test_pallas_vmapped_over_egos(rng):
+    """The agent vmaps the whole step over egos; the kernel must batch."""
+    nrng = np.random.default_rng(7)
+    E, K, H, W, C, crop = 3, 2, 32, 32, 16, 16
+    imgs = jnp.asarray(nrng.normal(size=(E, H, W, C)), jnp.float32)
+    grids = jnp.stack(
+        [_random_grids(nrng, K, H, W, crop) for _ in range(E)]
+    )
+    ref = jax.vmap(grid_sample_shared)(imgs, grids)
+    out = jax.vmap(lambda i, g: grid_sample_shared_pallas(i, g, True))(
+        imgs, grids
+    )
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
+                               atol=1e-5, rtol=1e-5)
