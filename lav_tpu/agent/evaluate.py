@@ -28,12 +28,38 @@ from lav_tpu.data.store import make_synthetic_episode
 from lav_tpu.utils.profiling import StepTimer
 
 
+# leaderboard penalty coefficients (CARLA leaderboard protocol; the replay
+# infractions are PROXIES — collision forecasts, not simulated collisions)
+PENALTY_COLLISION_VEHICLE = 0.60
+
+
+def _expert_future_plan_frame(ep, t: int, num_plan: int):
+    """Recorded expert future of frame t in the MODEL's plan frame.
+
+    The datasets train the planner on `-transform_points(fut - loc, -ori)`
+    (bev_dataset.py transform_ego + the `-ego_locs` negation at return);
+    the agent reconstructs the same frame from compass/GPS, so the agent's
+    `plan_locs` are directly comparable to this.
+    """
+    locs = ep.access("loc", t, num_plan + 1).reshape(num_plan + 1, -1, 2)[:, 0]
+    ori = math.radians(float(ep.access("ori", t, 1).reshape(-1)[0]))
+    rel = locs[1:] - locs[0]
+    c, s = math.cos(-ori), math.sin(-ori)
+    return -np.stack(
+        [c * rel[:, 0] - s * rel[:, 1], s * rel[:, 0] + c * rel[:, 1]],
+        axis=-1,
+    )
+
+
 def evaluate_episode(cfg, params, env: ReplayEnv, step, init_state,
                      max_ticks: int):
+    """Replay one episode and score expert agreement + infraction proxies."""
     state = init_state()
     timer = StepTimer(warmup=2)
     stats = dict(ticks=0, brakes=0, collides=0, nan_controls=0,
                  steer_abs_sum=0.0, throttle_sum=0.0)
+    plan_l2, brake_hits, steers, expert_dori = [], [], [], []
+    n_scoreable = max(0, min(max_ticks, len(env) - cfg.num_plan - 1))
     for t, obs in enumerate(env.frames()):
         if t >= max_ticks:
             break
@@ -48,8 +74,105 @@ def evaluate_episode(cfg, params, env: ReplayEnv, step, init_state,
         stats["nan_controls"] += int(not np.isfinite([s, th, b]).all())
         stats["steer_abs_sum"] += abs(s)
         stats["throttle_sum"] += th
+
+        # ---- expert agreement (skip tick 0: the agent emits no control) ---
+        if 0 < t < n_scoreable:
+            expert = _expert_future_plan_frame(env.ep, t, cfg.num_plan)
+            plan = np.asarray(aux["plan_locs"], np.float32)
+            plan_l2.append(
+                float(np.linalg.norm(plan - expert, axis=-1).mean())
+            )
+            exp_bra = int(env.ep.access("bra", t, 1, np.uint8).reshape(-1)[0])
+            brake_hits.append(int((b > 0.5) == bool(exp_bra)))
+            o0 = float(env.ep.access("ori", t, 1).reshape(-1)[0])
+            o1 = float(env.ep.access("ori", t + 1, 1).reshape(-1)[0])
+            steers.append(s)
+            expert_dori.append(math.radians(o1 - o0))
+
     stats["latency"] = timer.stats()
+    stats["expert_plan_l2"] = float(np.mean(plan_l2)) if plan_l2 else None
+    stats["brake_agreement"] = (
+        float(np.mean(brake_hits)) if brake_hits else None
+    )
+    if len(steers) >= 3 and np.std(steers) > 0 and np.std(expert_dori) > 0:
+        stats["steer_expert_corr"] = float(
+            np.corrcoef(steers, expert_dori)[0, 1]
+        )
+    else:
+        stats["steer_expert_corr"] = None
     return stats
+
+
+def make_results_json(records):
+    """Aggregate per-episode stats into the reference results.json shape
+    (CHECKPOINT_ENDPOINT protocol, /root/reference/docs/INSTALL.md:36-41):
+    `_checkpoint.records[*].{status, infractions, scores}` plus a
+    global_record.  Infractions here are replay proxies (collision
+    FORECASTS, NaN controls), and expert-agreement metrics ride in `meta`.
+    """
+    out_records = []
+    for i, r in enumerate(records):
+        completion = (
+            100.0 * (r["ticks"] - r["nan_controls"]) / max(r["ticks"], 1)
+        )
+        penalty = PENALTY_COLLISION_VEHICLE ** r["collides"]
+        rec = {
+            "route_id": f"RouteScenario_replay_{i}",
+            "index": i,
+            "status": "Completed" if r["nan_controls"] == 0 else "Failed",
+            "infractions": {
+                "collisions_pedestrian": [],
+                "collisions_vehicle": [
+                    "collision forecast triggered"
+                ] * r["collides"],
+                "collisions_layout": [],
+                "red_light": [],
+                "stop_infraction": [],
+                "outside_route_lanes": [],
+                "route_dev": [],
+                "route_timeout": [],
+                "vehicle_blocked": [],
+            },
+            "scores": {
+                "score_route": round(completion, 3),
+                "score_penalty": round(penalty, 3),
+                "score_composite": round(completion * penalty, 3),
+            },
+            "meta": {
+                "ticks": r["ticks"],
+                "brakes": r["brakes"],
+                "expert_plan_l2": r.get("expert_plan_l2"),
+                "brake_agreement": r.get("brake_agreement"),
+                "steer_expert_corr": r.get("steer_expert_corr"),
+                "latency": r.get("latency"),
+            },
+        }
+        out_records.append(rec)
+
+    def avg(key):
+        vals = [rec["scores"][key] for rec in out_records]
+        return round(float(np.mean(vals)), 3) if vals else 0.0
+
+    return {
+        "_checkpoint": {
+            "records": out_records,
+            "global_record": {
+                "route_id": -1,
+                "status": ("Completed" if all(
+                    r["status"] == "Completed" for r in out_records
+                ) else "Failed"),
+                "scores": {
+                    "score_route": avg("score_route"),
+                    "score_penalty": avg("score_penalty"),
+                    "score_composite": avg("score_composite"),
+                },
+            },
+        },
+        "values": [avg("score_composite"), avg("score_route"),
+                   avg("score_penalty")],
+        "labels": ["Avg. driving score", "Avg. route completion",
+                   "Avg. infraction penalty"],
+    }
 
 
 def evaluate_batched(cfg, params, envs, step_fn, init_state, max_ticks: int):
@@ -140,14 +263,11 @@ def main():
         records.append(rec)
         print(f"episode {e}: {rec}")
 
-    summary = {
-        "records": records,
-        "total_ticks": sum(r["ticks"] for r in records),
-        "nan_controls": sum(r["nan_controls"] for r in records),
-    }
+    results = make_results_json(records)
     with open(args.out, "w") as f:
-        json.dump(summary, f, indent=2)
-    print(f"wrote {args.out}")
+        json.dump(results, f, indent=2)
+    print(f"wrote {args.out}: "
+          f"{dict(zip(results['labels'], results['values']))}")
 
 
 if __name__ == "__main__":
