@@ -52,8 +52,13 @@ def _expert_future_plan_frame(ep, t: int, num_plan: int):
 
 
 def evaluate_episode(cfg, params, env: ReplayEnv, step, init_state,
-                     max_ticks: int):
-    """Replay one episode and score expert agreement + infraction proxies."""
+                     max_ticks: int, video=None):
+    """Replay one episode and score expert agreement + infraction proxies.
+
+    video: optional VideoRecorder — accumulates every tick's viz canvas,
+    the reference's eval-video behavior (lav_agent.py:158-165, 351-355)."""
+    from lav_tpu.utils.visualization import visualize_agent_tick
+
     state = init_state()
     timer = StepTimer(warmup=2)
     stats = dict(ticks=0, brakes=0, collides=0, nan_controls=0,
@@ -74,6 +79,18 @@ def evaluate_episode(cfg, params, env: ReplayEnv, step, init_state,
         stats["nan_controls"] += int(not np.isfinite([s, th, b]).all())
         stats["steer_abs_sum"] += abs(s)
         stats["throttle_sum"] += th
+
+        if video is not None:
+            pts = np.asarray(obs["lidar"])[np.asarray(obs["lidar_valid"])]
+            video.append(visualize_agent_tick(
+                pts[:, :2], np.asarray(aux["plan_locs"]),
+                np.asarray(aux["other_cast_locs"]),
+                np.asarray(aux["other_cast_cmds"]),
+                np.asarray(aux["other_valid"]), np.asarray(aux["nxp"]),
+                pixels_per_meter=cfg.pixels_per_meter,
+                cmd_thresh=cfg.cmd_thresh, min_x=cfg.min_x, max_x=cfg.max_x,
+                min_y=cfg.min_y, max_y=cfg.max_y,
+            ))
 
         # ---- expert agreement (skip tick 0: the agent emits no control) ---
         if 0 < t < n_scoreable:
@@ -220,6 +237,9 @@ def main():
                    help="batched multi-ego evaluation with N lockstep egos")
     p.add_argument("--max-points", type=int, default=2048)
     p.add_argument("--out", default="results.json")
+    p.add_argument("--video", default="",
+                   help="record each episode's viz canvases to an MJPEG AVI "
+                        "(reference eval-video behavior)")
     args = p.parse_args()
 
     cfg = (tiny_config() if args.tiny
@@ -258,7 +278,17 @@ def main():
             bev_hw=(cfg.ny, cfg.nx), seed=e,
         )
         env = ReplayEnv(ep, cfg, max_points=args.max_points)
-        rec = evaluate_episode(cfg, params, env, step, init_state, args.ticks)
+        video = None
+        if args.video:
+            from lav_tpu.utils.video import VideoRecorder
+
+            stem, dot, ext = args.video.rpartition(".")
+            video = VideoRecorder(f"{stem}_{e}.{ext}" if dot else
+                                  f"{args.video}_{e}.avi", fps=cfg.fps)
+        rec = evaluate_episode(cfg, params, env, step, init_state, args.ticks,
+                               video=video)
+        if video is not None and video.close():
+            print(f"episode {e}: wrote {video.path}")
         rec["episode"] = e
         records.append(rec)
         print(f"episode {e}: {rec}")

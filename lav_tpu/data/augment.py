@@ -3,9 +3,9 @@
 Re-creates the reference augmentation distribution
 (/root/reference/lav/utils/augmenter.py:4-17): each op applied with
 probability p in random order — gaussian blur, additive gaussian noise,
-coarse dropout, channel multiply, linear contrast, partial grayscale.
-The elastic transform is omitted (tiny alpha in the reference; negligible
-photometric effect) — documented deviation.
+coarse dropout, channel multiply, linear contrast, partial grayscale, and
+elastic warp (imgaug ElasticTransformation semantics: gaussian-smoothed
+random displacement field, alpha in (0.5, 3.5) px, sigma 0.25).
 """
 
 from __future__ import annotations
@@ -63,7 +63,49 @@ def _grayscale(rng, img):
     return (1 - alpha) * img + alpha * gray
 
 
-_OPS = (_blur, _noise, _dropout, _multiply, _contrast, _grayscale)
+def _elastic(rng, img):
+    """imgaug ElasticTransformation(alpha=(0.5, 3.5), sigma=0.25): sample a
+    uniform(-1, 1) displacement field per axis, gaussian-smooth it with
+    `sigma`, scale by `alpha` px, and bilinearly resample.  At sigma 0.25
+    the smoothing kernel is ~1 px, i.e. near-independent jitter per pixel."""
+    alpha = rng.uniform(0.5, 3.5)
+    sigma = 0.25
+    h, w = img.shape[:2]
+
+    radius = max(int(3 * sigma), 1)
+    xs = np.arange(-radius, radius + 1)
+    k = np.exp(-(xs ** 2) / (2 * sigma ** 2))
+    k /= k.sum()
+
+    def smooth(field):
+        pad = np.pad(field, radius, mode="reflect")
+        out = sum(k[i] * pad[i:i + h, radius:radius + w]
+                  for i in range(len(k)))
+        pad = np.pad(out, radius, mode="reflect")
+        return sum(k[i] * pad[radius:radius + h, i:i + w]
+                   for i in range(len(k)))
+
+    dy = smooth(rng.uniform(-1, 1, (h, w))) * alpha
+    dx = smooth(rng.uniform(-1, 1, (h, w))) * alpha
+
+    yy, xx = np.meshgrid(np.arange(h, dtype=np.float32),
+                         np.arange(w, dtype=np.float32), indexing="ij")
+    sy = np.clip(yy + dy, 0, h - 1)
+    sx = np.clip(xx + dx, 0, w - 1)
+    y0 = np.clip(np.floor(sy).astype(np.int64), 0, h - 2)
+    x0 = np.clip(np.floor(sx).astype(np.int64), 0, w - 2)
+    fy = (sy - y0)[..., None]
+    fx = (sx - x0)[..., None]
+    out = (
+        img[y0, x0] * (1 - fy) * (1 - fx)
+        + img[y0, x0 + 1] * (1 - fy) * fx
+        + img[y0 + 1, x0] * fy * (1 - fx)
+        + img[y0 + 1, x0 + 1] * fy * fx
+    )
+    return out
+
+
+_OPS = (_blur, _noise, _dropout, _multiply, _contrast, _grayscale, _elastic)
 
 
 class Augmenter:

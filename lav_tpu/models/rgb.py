@@ -68,10 +68,21 @@ def _seg_head(p, x, train: bool):
 # RGBBrakePredictionModel
 # ---------------------------------------------------------------------------
 
-def brake_model_init(key, num_seg_channels: int, version: int = 1):
+def brake_model_init(key, num_seg_channels: int, version: int = 1,
+                     imagenet_sd=None):
+    """imagenet_sd: optional torchvision resnet18 state_dict (numpy arrays)
+    for the ImageNet-pretrained backbone init the reference uses
+    (lav/lav_privileged.py:31, rgb.py:47 pretrained=True); converted via
+    utils.weights.convert_resnet (torchvision layout == our key space)."""
     ks = jax.random.split(key, 5)
+    if imagenet_sd is not None:
+        from lav_tpu.utils.weights import convert_resnet
+
+        backbone = jax.tree.map(jnp.asarray, convert_resnet(imagenet_sd))
+    else:
+        backbone = resnet18_init(ks[0], 3)
     p = {
-        "conv_backbone": resnet18_init(ks[0], 3),
+        "conv_backbone": backbone,
         "seg_head": _seg_head_init(ks[1], 512, num_seg_channels + 1),
         "classifier": L.linear_init(ks[2], 1024, 1),
     }

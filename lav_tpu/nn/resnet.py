@@ -73,10 +73,52 @@ def resnet_init(key, layers_cfg: List[int], num_channels: int = 3, width: int = 
     return p
 
 
+def _conv1_space_to_depth(w, x):
+    """Entry conv (7x7 stride 2 pad 3) as a space-to-depth conv.
+
+    Narrow-channel NHWC inputs (the 5/9-channel BEV maps) pad their lane
+    dim to 128 in every conv-adjacent copy on TPU — 25.6x phantom traffic,
+    the reason reference-scale bs=256/512 OOMed (measured 26.8 GB input
+    copy at bs=512; CLAUDE.md).  Folding 2x2 spatial blocks into channels
+    quarters the padding and halves the spatial copy extents:
+
+        y[i,j,o] = sum_{ky,kx,c} xp[2i+ky, 2j+kx, c] w[ky,kx,c,o]
+
+    with xp = pad(x, 3).  Pad x by 4 instead (even => block-aligned) and
+    embed w at offset +1 in an 8x8 kernel: y[i,j] then reads xp4 rows
+    2i..2i+7, i.e. s2d blocks i..i+3 — a 4x4 stride-1 VALID conv over the
+    (H/2+4, W/2+4, 4C) space-to-depth view.  Exact same products as the
+    direct conv (summation order differs at f32 rounding level).
+    """
+    import jax.numpy as jnp
+
+    B, H, W, C = x.shape
+    kh, kw, _, O = w.shape  # 7,7,C,O
+    xp = jnp.pad(x, ((0, 0), (4, 4), (4, 4), (0, 0)))
+    Hp, Wp = H + 8, W + 8
+    x2 = xp.reshape(B, Hp // 2, 2, Wp // 2, 2, C)
+    x2 = x2.transpose(0, 1, 3, 2, 4, 5).reshape(B, Hp // 2, Wp // 2, 4 * C)
+
+    w8 = jnp.zeros((8, 8, C, O), w.dtype).at[1:1 + kh, 1:1 + kw].set(w)
+    w2 = w8.reshape(4, 2, 4, 2, C, O).transpose(0, 2, 1, 3, 4, 5)
+    w2 = w2.reshape(4, 4, 4 * C, O)
+
+    out = jax.lax.conv_general_dilated(
+        x2, w2, window_strides=(1, 1), padding="VALID",
+        dimension_numbers=("NHWC", "HWIO", "NHWC"),
+    )
+    return out[:, : H // 2, : W // 2]
+
+
 def resnet_apply(p, x, train: bool = False, layers_cfg=(2, 2, 2, 2)):
     """x: (B, H, W, C) -> layer4 features (B, H/32, W/32, 512-ish)."""
     state = {}
-    out = L.conv2d(p["conv1"], x, stride=2, padding=3)
+    if x.shape[-1] <= 16 and x.shape[1] % 2 == 0 and x.shape[2] % 2 == 0:
+        out = _conv1_space_to_depth(p["conv1"]["w"], x)
+        if "b" in p["conv1"]:
+            out = out + p["conv1"]["b"]
+    else:
+        out = L.conv2d(p["conv1"], x, stride=2, padding=3)
     out, state["bn1"] = L.batchnorm(p["bn1"], out, train)
     out = jax.nn.relu(out)
     out = L.max_pool2d(out, 3, 2, 1)

@@ -52,6 +52,10 @@ def _common_args(p: argparse.ArgumentParser):
     p.add_argument("--resume", default=None,
                    help="checkpoint path for exact resume (params + "
                         "optimizer state + epoch/iteration)")
+    p.add_argument("--imagenet-weights", default="",
+                   help="torchvision resnet18 state_dict .pth for "
+                        "ImageNet-pretrained backbone init (reference "
+                        "rgb.py pretrained=True)")
     p.add_argument("--grad-accum", type=int, default=1,
                    help="accumulate gradients over N micro-batches before "
                         "each optimizer update (effective batch = "
@@ -168,11 +172,31 @@ def main_seg(args):
                 dict(bs=256, epochs=1))
 
 
+def _imagenet_sd(cfg, args):
+    """Resolve the ImageNet-pretrained resnet18 backbone weights
+    (reference rgb.py:47 pretrained=True, downloaded by torchvision; this
+    environment has no network, so the flag points at a local torchvision
+    resnet18 state_dict .pth instead)."""
+    if not (cfg.imagenet_pretrained or args.imagenet_weights):
+        return None
+    path = args.imagenet_weights or os.environ.get("LAV_IMAGENET_RESNET18", "")
+    if not path or not os.path.exists(path):
+        raise FileNotFoundError(
+            "imagenet_pretrained is set but no weights file found — pass "
+            "--imagenet-weights /path/to/torchvision_resnet18.pth (or set "
+            "LAV_IMAGENET_RESNET18); there is no network to download from"
+        )
+    from lav_tpu.utils.weights import load_torch_state_dict
+
+    return load_torch_state_dict(path)
+
+
 def main_bra(args):
     cfg = _load_cfg(args)
     ds = get_dataset("bra", cfg)
     params = brake_model_init(jax.random.key(args.seed), 3,
-                              version=2 if args.v2 else 1)
+                              version=2 if args.v2 else 1,
+                              imagenet_sd=_imagenet_sd(cfg, args))
     opt = _wrap_accum(optax.adam(args.lr), args)
     step = make_bra_train_step(cfg, opt, version=2 if args.v2 else 1)
     _train_loop("bra", cfg, args, params, step, ds, opt,

@@ -171,6 +171,9 @@ def make_full_train_step(cfg: LAVConfig, optimizer, v2: bool = False,
         (_, (bn_state, metrics)), grads = jax.value_and_grad(
             loss_fn, has_aux=True
         )(params)
+        # gradient observability (the reference's wandb.watch surface,
+        # logger.py:32-33) — one fused reduction, negligible cost
+        metrics = dict(metrics, grad_norm=optax.global_norm(grads))
         updates, opt_state = optimizer.update(grads, opt_state, params)
         params = optax.apply_updates(params, updates)
         params = merge_bn_state(params, bn_state)

@@ -71,6 +71,9 @@ def make_bev_train_step(cfg: LAVConfig, optimizer, v2: bool = False):
         (_, (bn_state, metrics)), grads = jax.value_and_grad(
             loss_fn, has_aux=True
         )(params)
+        # gradient observability (the reference's wandb.watch surface,
+        # logger.py:32-33) — one fused reduction, negligible cost
+        metrics = dict(metrics, grad_norm=optax.global_norm(grads))
         updates, opt_state = optimizer.update(grads, opt_state, params)
         params = optax.apply_updates(params, updates)
         params = merge_bn_state(params, bn_state)
@@ -92,6 +95,9 @@ def make_seg_train_step(cfg: LAVConfig, optimizer):
         (_, (bn_state, metrics)), grads = jax.value_and_grad(
             loss_fn, has_aux=True
         )(params)
+        # gradient observability (the reference's wandb.watch surface,
+        # logger.py:32-33) — one fused reduction, negligible cost
+        metrics = dict(metrics, grad_norm=optax.global_norm(grads))
         updates, opt_state = optimizer.update(grads, opt_state, params)
         params = optax.apply_updates(params, updates)
         params = merge_bn_state(params, bn_state)
@@ -121,6 +127,9 @@ def make_bra_train_step(cfg: LAVConfig, optimizer, version: int = 1):
         (_, (bn_state, metrics)), grads = jax.value_and_grad(
             loss_fn, has_aux=True
         )(params)
+        # gradient observability (the reference's wandb.watch surface,
+        # logger.py:32-33) — one fused reduction, negligible cost
+        metrics = dict(metrics, grad_norm=optax.global_norm(grads))
         updates, opt_state = optimizer.update(grads, opt_state, params)
         params = optax.apply_updates(params, updates)
         params = merge_bn_state(params, bn_state)

@@ -56,6 +56,38 @@ class Logger:
             wandb.log(scalars, step=step)
         return rec
 
+    def log_gradients(self, step: int, grads, max_leaves: int = 256):
+        """Functional analog of the reference's wandb.watch gradient
+        watching (lav/utils/logger.py:32-33): per-parameter-path gradient
+        norms + the global norm, into the same scalar sinks."""
+        flat = {}
+
+        def walk(tree, path):
+            if isinstance(tree, dict):
+                for k in sorted(tree):
+                    walk(tree[k], f"{path}/{k}" if path else k)
+            else:
+                flat[path] = np.asarray(tree)
+
+        walk(grads, "")
+        sq = 0.0
+        scalars = {}
+        for i, (path, g) in enumerate(flat.items()):
+            norm = float(np.linalg.norm(g.astype(np.float64)))
+            sq += norm * norm
+            if i < max_leaves:
+                scalars[f"grad/{path}"] = norm
+        scalars["grad/global_norm"] = float(np.sqrt(sq))
+        return self.log(step, scalars)
+
+    def video_recorder(self, name: str, fps: int = 20):
+        """MJPEG-AVI recorder in the run dir (the reference flushes every
+        evaluation's viz canvases to wandb as a 20-fps video,
+        team_code_v2/lav_agent.py:158-165)."""
+        from lav_tpu.utils.video import VideoRecorder
+
+        return VideoRecorder(os.path.join(self.save_dir, name), fps=fps)
+
     def save_file(self, path: str):
         if self.use_wandb:
             wandb.save(path)

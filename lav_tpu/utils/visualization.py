@@ -38,8 +38,10 @@ def lidar_to_bev(lidar_xy: np.ndarray, *, min_x=-10, max_x=70, min_y=-40,
                  ) -> np.ndarray:
     """2-D histogram splat of lidar points (lav_agent.py:531-545):
     returns a grayscale uint8 image with x increasing downward-flipped."""
-    xbins = np.linspace(min_x, max_x + 1, (max_x - min_x) * pixels_per_meter + 1)
-    ybins = np.linspace(min_y, max_y + 1, (max_y - min_y) * pixels_per_meter + 1)
+    xbins = np.linspace(min_x, max_x + 1,
+                        int((max_x - min_x) * pixels_per_meter) + 1)
+    ybins = np.linspace(min_y, max_y + 1,
+                        int((max_y - min_y) * pixels_per_meter) + 1)
     hist, _, _ = np.histogram2d(lidar_xy[:, 0], lidar_xy[:, 1],
                                 bins=(xbins, ybins))
     hist = np.minimum(hist, hist_max_per_pixel)

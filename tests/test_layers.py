@@ -133,3 +133,21 @@ def test_linear_matches_torch(rng):
     ref = tl(torch.tensor(x)).detach().numpy()
     p = {"w": _j(tl.weight.detach().numpy().T), "b": _j(tl.bias.detach().numpy())}
     np.testing.assert_allclose(np.asarray(L.linear(p, _j(x))), ref, atol=1e-4)
+
+
+def test_conv1_space_to_depth_matches_direct(rng):
+    """The s2d entry conv must equal the direct 7x7/s2/p3 conv exactly
+    (same products, different summation order -> f32-rounding band)."""
+    import jax
+    import jax.numpy as jnp
+    from lav_tpu.nn import layers as L
+    from lav_tpu.nn.resnet import _conv1_space_to_depth
+
+    for C in (3, 5, 9):
+        w = jnp.asarray(rng.normal(size=(7, 7, C, 16)).astype(np.float32))
+        x = jnp.asarray(rng.normal(size=(2, 24, 32, C)).astype(np.float32))
+        ref = L.conv2d({"w": w}, x, stride=2, padding=3)
+        out = _conv1_space_to_depth(w, x)
+        assert out.shape == ref.shape
+        np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
+                                   atol=5e-5, rtol=2e-4)
