@@ -200,6 +200,22 @@ def point_pillar_apply(
     neg = jnp.asarray(-1e30, feat.dtype)
     feat = jnp.where(keep[..., None], feat, neg)
 
+    if not train and not use_pallas:
+        # INFERENCE fast path: the point MLP ends in ReLU, so features are
+        # >= 0 and a ZERO-initialized scatter-max is exactly the reference
+        # zero-canvas semantics (empty pillar == all-zero-feature pillar) —
+        # without the -1e30 fill pass or the where-rewrite pass over the
+        # 210 MB canvas (~5 ms/tick at 16 egos; the scatter itself is
+        # issue-bound so the masked -1e30 updates routed to the dump slot
+        # cost nothing extra).  Training keeps the -1e30 form: max-grad
+        # tie-breaking against the 0 init would reroute gradients at
+        # exact-zero ReLU outputs.
+        C = feat.shape[-1]
+        canvas = jnp.zeros((Bq * num_segments, C), feat.dtype)
+        canvas = canvas.at[pid_flat].max(feat.reshape(-1, C))
+        canvas = canvas.reshape(Bq, num_segments, C)[:, : ny * nx]
+        return canvas.reshape(Bq, ny, nx, C), state
+
     if use_pallas and not train:
         from lav_tpu.ops.pillar_pallas import pillar_scatter_max_pallas
 
