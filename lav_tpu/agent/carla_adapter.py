@@ -58,10 +58,12 @@ class LAVAgentCore:
     """Simulator-agnostic agent core: host route following + jitted step.
     Used by both the CARLA adapter and the replay evaluator."""
 
-    def __init__(self, cfg: LAVConfig, params, max_points: int = 8192):
+    def __init__(self, cfg: LAVConfig, params, max_points: int = 8192,
+                 rgb_hw=(288, 256)):
         self.cfg = cfg
         self.params = params
-        init_state, step = build_agent(cfg, max_points=max_points)
+        init_state, step = build_agent(cfg, max_points=max_points,
+                                       rgb_hw=rgb_hw)
         self.state = init_state()
         self.step = jax.jit(step)
         self.max_points = max_points
