@@ -284,13 +284,16 @@ def crop_feature_shared(
     theta = _crop_theta(rel_locs, rel_oris, H, W, pixels_per_meter,
                         crop_size, offset_x, offset_y, features.dtype)
     grid = affine_grid(theta, crop_size, crop_size)
+    if use_pallas and not pallas_interpret and not pallas_crop_available():
+        use_pallas = False  # compiled Pallas is TPU-only; fall back, don't die
     if use_pallas:
         from lav_tpu.core.warp_pallas import (
             grid_sample_shared_pallas, supports,
         )
         # source px per output px of this crop's rigid transform
         step = (crop_size / H) * (H - 1) / max(crop_size - 1, 1)
-        if supports(features.shape, (crop_size, crop_size), step):
+        if supports(features.shape, (crop_size, crop_size), step,
+                    jnp.dtype(features.dtype).itemsize):
             return grid_sample_shared_pallas(features, grid, pallas_interpret)
     return grid_sample_shared(features, grid)
 
@@ -304,6 +307,7 @@ def crop_feature(
     crop_size: int,
     offset_x: float = 0.0,
     offset_y: float = 0.75,
+    use_pallas: bool = False,
 ):
     """Rotated ego/actor-centric crop from a BEV feature map.
 
@@ -312,8 +316,28 @@ def crop_feature(
     (bev_planner.py:224-266): scale k = crop_size/H, rotation by rel_ori,
     and an offset that keeps the ego anchor (offset_x, offset_y in
     normalized coords) fixed under the crop.
+
+    use_pallas: route through the fused tile+MXU kernel as a per-item
+    K=1 shared crop when shapes qualify.  Besides speed, this avoids the
+    XLA gather's lane-padded neighborhood temp — on narrow-channel BEV
+    maps (C=5/9, padded to 128 lanes) that temp is ~0.4 GiB PER SAMPLE
+    and is what kept reference-scale batch sizes from compiling.
     """
     B, H, W, _ = features.shape
+    if use_pallas:
+        from lav_tpu.core.warp_pallas import supports
+
+        step = (crop_size / H) * (H - 1) / max(crop_size - 1, 1)
+        if supports(features.shape[1:], (crop_size, crop_size), step,
+                    jnp.dtype(features.dtype).itemsize):
+            out = jax.vmap(
+                lambda f, l, o: crop_feature_shared(
+                    f, l[None], o[None],
+                    pixels_per_meter=pixels_per_meter, crop_size=crop_size,
+                    offset_x=offset_x, offset_y=offset_y, use_pallas=True,
+                )
+            )(features, rel_locs, rel_oris)
+            return out[:, 0]
     theta = _crop_theta(rel_locs, rel_oris, H, W, pixels_per_meter,
                         crop_size, offset_x, offset_y, features.dtype)
     grid = affine_grid(theta, crop_size, crop_size)

@@ -11,8 +11,7 @@ source px per output px, so any GS x GS block of output pixels reads from a
 bounded (<= TS x TS) axis-aligned source tile.  That turns the random-access
 gather into structure the TPU loves:
 
-  * the source map rides in VMEM as a channel block (BlockSpec constant
-    across the crop axis -> fetched once per channel block, not per tap);
+  * the source map rides in VMEM (see "source residency" below);
   * per output group, ONE aligned-rows dynamic slice pulls the (TS, TS, CB)
     tile;
   * exact align_corners=True zero-pad bilinear weights are built in
@@ -20,6 +19,23 @@ gather into structure the TPU loves:
     wx(tm(t), p)  with the hinge  w(u) = max(0, 1 - |pos - u|)  — identical
     (including clamped-edge partial weights) to the XLA path's formula;
   * the 4-tap lerp becomes one (TS*TS, GS*GS)^T x (TS*TS, CB) MXU matmul.
+
+Source residency: the source is a grid-blocked VMEM input (constant across
+the crop axis -> fetched once per channel block).  Mosaic double-buffers
+pipelined blocks by default; for narrow-channel sources the lane (minor)
+dim pads to 128 (a 320x320x5 f32 BEV map occupies 52.4 MB of VMEM, 25.6x
+its logical 2 MB) and the double-buffered form overflows the 128 MB
+physical VMEM (measured: 136 MB asked, compile fails).  Those sources get
+`pl.Buffered(buffer_count=1)` — the pipeline stalls for one ~2 MB logical
+DMA per (batch item, channel block), amortized over all K crops x 576
+output groups.  NOTE an ANY-memory-space source + manual per-item DMA does
+NOT work here: Mosaic requires HBM memref slices to be 128-aligned on the
+tiled lane dim, so a (B,H,W,5) array cannot even be .at[b]-sliced.
+
+Batching: a leading batch axis becomes the outermost grid dimension via
+jax.custom_batching.custom_vmap (Pallas's default batching rule would works
+too, but the explicit grid keeps the buffer-count decision in one place and
+matches the pillar kernel's pattern).
 
 Traffic per 16-ego v2 tick drops from ~6.8 GB of gathered slices to
 ~0.9 GB of tile reads + the 1.7 GB crop write.
@@ -48,6 +64,15 @@ TSX = 24  # source tile cols; wider because the x start is aligned DOWN to a
           # multiple of 8 — Mosaic crashes on unaligned dynamic sublane
           # slices, and pl.multiple_of(tx, 8) takes the supported path
 
+# padded-bytes budget for the pipelined source window (out of 128 MB
+# physical VMEM; leave room for the double-buffered output window)
+_PIPE_BUDGET = 96 << 20
+_SINGLEBUF_BUDGET = 100 << 20
+
+
+def _pad128(c: int) -> int:
+    return -(-c // 128) * 128
+
 
 def _pick_gs(step_px: float) -> int:
     """Largest output-group edge whose taps fit the fixed tile.
@@ -61,30 +86,35 @@ def _pick_gs(step_px: float) -> int:
     return 0
 
 
-def supports(img_shape, out_hw, step_px: float) -> bool:
+def supports(img_shape, out_hw, step_px: float, itemsize: int = 4) -> bool:
     """Static eligibility: shapes divisible, tile bound holds, source tall
-    enough for the tile slice."""
+    enough for the tile slice, and at least one residency mode fits VMEM."""
     H, W, C = img_shape
     Ho, Wo = out_hw
     gs = _pick_gs(step_px)
-    return (
-        gs != 0
-        and Ho % gs == 0
-        and Wo % gs == 0
-        and H >= TSY
-        and W >= TSX
-        # channel blocks must be 128-divisible or full-C (Mosaic minor-dim
-        # rule); a full-C source block must also fit VMEM comfortably
-        and (C % 128 == 0 or H * W * C <= (1 << 21))
-    )
+    if not (gs and Ho % gs == 0 and Wo % gs == 0 and H >= TSY and W >= TSX):
+        return False
+    if C % 128 == 0:
+        # wide sources are channel-blockable; _pick_cb always finds a
+        # double-buffered block that fits
+        return True
+    # narrow sources ride full-C with a single-buffered source window
+    cpad = _pad128(C)
+    return (H * W + 2 * Ho * Wo) * cpad * itemsize <= _SINGLEBUF_BUDGET
 
 
 def _kernel(starts_ref, fx_ref, fy_ref, src_ref, out_ref, *, ngx: int,
             gs: int, unroll: bool):
-    """One (channel-block, crop) grid step: all output groups of one crop."""
+    """One (batch, channel-block, crop) grid step: all output groups of one
+    crop.  Refs arrive batched: starts (1,1,ng,2) SMEM, fx/fy (1,1,ng,GS*GS),
+    src (1,H,W,CB), out (1,1,Ho,Wo,CB)."""
     CB = src_ref.shape[-1]
-    ng = fx_ref.shape[1]
     dtype = src_ref.dtype
+
+    def tile_at(ty, tx):
+        return src_ref[0, pl.ds(ty, TSY), pl.ds(tx, TSX), :]
+
+    ng = fx_ref.shape[2]
     GS = gs
 
     # hinge positions along each tile axis (f32, built once)
@@ -96,45 +126,55 @@ def _kernel(starts_ref, fx_ref, fy_ref, src_ref, out_ref, *, ngx: int,
     )
 
     def body(g, _):
-        ty = starts_ref[0, g, 0]
-        tx = pl.multiple_of(starts_ref[0, g, 1], 8)
-        tile = src_ref[pl.ds(ty, TSY), pl.ds(tx, TSX), :].reshape(
-            TSY * TSX, CB
-        )
+        ty = starts_ref[0, 0, g, 0]
+        tx = pl.multiple_of(starts_ref[0, 0, g, 1], 8)
+        tile = tile_at(ty, tx).reshape(TSY * TSX, CB)
 
-        fx = fx_ref[0, pl.ds(g, 1), :]  # (1, GS*GS) f32, x pos rel to tile
-        fy = fy_ref[0, pl.ds(g, 1), :]
+        fx = fx_ref[0, 0, pl.ds(g, 1), :]  # (1, GS*GS) f32, rel to tile
+        fy = fy_ref[0, 0, pl.ds(g, 1), :]
         # exact zero-pad bilinear: w(u) = max(0, 1 - |pos - u|); only the two
         # columns adjacent to each sample are nonzero, clamped edges get the
         # same partial weights as the XLA path
         wx = jnp.maximum(0.0, 1.0 - jnp.abs(fx - pos_x))  # (TSX, GS*GS)
         wy = jnp.maximum(0.0, 1.0 - jnp.abs(fy - pos_y))  # (TSY, GS*GS)
         w = (wy[:, None, :] * wx[None, :, :]).reshape(TSY * TSX, GS * GS)
+        # f32 sources need full-precision MXU passes: the default reduced
+        # (bf16-pass) f32 matmul costs ~1.6e-2 abs error on unit-scale
+        # features — far beyond the XLA path's rounding.  bf16 sources keep
+        # the default (operands are bf16 anyway; accumulation is f32).
         acc = jax.lax.dot_general(
             w.astype(dtype), tile,
             (((0,), (0,)), ((), ())),
             preferred_element_type=jnp.float32,
+            precision=(jax.lax.Precision.HIGHEST
+                       if dtype == jnp.float32 else None),
         )  # (GS*GS, CB)
 
         # the ox write offset lands on the sublane dim of the output block —
         # Mosaic needs the same alignment hint as the tile reads
         oy = pl.multiple_of((g // ngx) * GS, GS)
         ox = pl.multiple_of((g % ngx) * GS, GS)
-        out_ref[0, pl.ds(oy, GS), pl.ds(ox, GS), :] = acc.reshape(
+        out_ref[0, 0, pl.ds(oy, GS), pl.ds(ox, GS), :] = acc.reshape(
             GS, GS, CB
         ).astype(out_ref.dtype)
         return 0
 
-    jax.lax.fori_loop(0, ng, body, 0, unroll=ng if unroll else 1)
+    # full unroll is worth 2.3x at agent shapes (ng=144), but Mosaic only
+    # supports unroll in {1, ng} and very large unrolled bodies (ng>=576,
+    # the 192px BEV teacher crops) crash the compiler — cap it
+    jax.lax.fori_loop(0, ng, body, 0,
+                      unroll=ng if (unroll and ng <= 300) else 1)
 
 
 @functools.partial(
     jax.jit, static_argnames=("cb", "gs", "interpret", "unroll")
 )
-def _grid_sample_pallas_impl(img, grid, cb: int, gs: int, interpret: bool,
-                             unroll: bool = True):
-    H, W, C = img.shape
-    K, Ho, Wo, _ = grid.shape
+def _grid_sample_pallas_batched(img, grid, cb: int, gs: int, interpret: bool,
+                                unroll: bool = True):
+    """Natively batched core: img (B,H,W,C), grid (B,K,Ho,Wo,2) ->
+    (B,K,Ho,Wo,C) over a (B, channel-blocks, K) sequential grid."""
+    B, H, W, C = img.shape
+    _, K, Ho, Wo, _ = grid.shape
     GS = gs
     ngy, ngx = Ho // GS, Wo // GS
     ng = ngy * ngx
@@ -142,9 +182,9 @@ def _grid_sample_pallas_impl(img, grid, cb: int, gs: int, interpret: bool,
     ix = (grid[..., 0] + 1.0) * 0.5 * (W - 1)
     iy = (grid[..., 1] + 1.0) * 0.5 * (H - 1)
 
-    def group_view(a):  # (K, Ho, Wo) -> (K, ng, GS*GS)
-        a = a.reshape(K, ngy, GS, ngx, GS).transpose(0, 1, 3, 2, 4)
-        return a.reshape(K, ng, GS * GS)
+    def group_view(a):  # (B, K, Ho, Wo) -> (B, K, ng, GS*GS)
+        a = a.reshape(B, K, ngy, GS, ngx, GS).transpose(0, 1, 2, 4, 3, 5)
+        return a.reshape(B, K, ng, GS * GS)
 
     gx, gy = group_view(ix), group_view(iy)
     x0 = jnp.clip(jnp.floor(gx), 0, W - 2).astype(jnp.int32)
@@ -154,33 +194,46 @@ def _grid_sample_pallas_impl(img, grid, cb: int, gs: int, interpret: bool,
     # align after the clip (alignment only lowers the start)
     tx = (jnp.clip(jnp.min(x0, axis=-1), 0, W - TSX) // 8) * 8
     ty = jnp.clip(jnp.min(y0, axis=-1), 0, H - TSY)
-    starts = jnp.stack([ty, tx], axis=-1)                      # (K, ng, 2)
-    fx = gx - tx[..., None].astype(jnp.float32)                # (K, ng, 64)
+    starts = jnp.stack([ty, tx], axis=-1)                    # (B, K, ng, 2)
+    fx = gx - tx[..., None].astype(jnp.float32)              # (B, K, ng, GS²)
     fy = gy - ty[..., None].astype(jnp.float32)
 
-    ncb = C // cb
-    # the source block alone can exceed Mosaic's default ~16 MB VMEM budget
-    # once double-buffered; v5e physically has far more — size the limit to
-    # the actual working set (the remote compile helper otherwise surfaces
-    # the overflow only as an opaque HTTP 500)
     itemsize = jnp.dtype(img.dtype).itemsize
-    vmem_bytes = 2 * (H * W * cb + Ho * Wo * cb) * itemsize + (1 << 22)
+    cb_pad = _pad128(cb)
+    src_bytes = H * W * cb_pad * itemsize
+    out_bytes = Ho * Wo * cb_pad * itemsize
+    # lane-padded narrow-C sources can't afford Mosaic's default double
+    # buffering (2 x 52.4 MB for a 320x320x5 f32 map); single-buffer them —
+    # the pipeline stalls for one ~2 MB logical source DMA per (b, cblk),
+    # amortized over K crops x ng output groups
+    single_buf = 2 * (src_bytes + out_bytes) > _PIPE_BUDGET
+    src_bufs = 1 if single_buf else 2
+    vmem_bytes = min(src_bufs * src_bytes + 2 * out_bytes + (1 << 22),
+                     120 << 20)
+    ncb = C // cb
+
+    src_spec = pl.BlockSpec(
+        (1, H, W, cb), lambda b, c, k: (b, 0, 0, c),
+        memory_space=pltpu.VMEM,
+        pipeline_mode=pl.Buffered(buffer_count=src_bufs),
+    )
+
     return pl.pallas_call(
         functools.partial(_kernel, ngx=ngx, gs=gs, unroll=unroll),
-        grid=(ncb, K),
+        grid=(B, ncb, K),
         in_specs=[
-            pl.BlockSpec((1, ng, 2), lambda c, k: (k, 0, 0),
+            pl.BlockSpec((1, 1, ng, 2), lambda b, c, k: (b, k, 0, 0),
                          memory_space=pltpu.SMEM),
-            pl.BlockSpec((1, ng, GS * GS), lambda c, k: (k, 0, 0),
+            pl.BlockSpec((1, 1, ng, GS * GS), lambda b, c, k: (b, k, 0, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, ng, GS * GS), lambda c, k: (k, 0, 0),
+            pl.BlockSpec((1, 1, ng, GS * GS), lambda b, c, k: (b, k, 0, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((H, W, cb), lambda c, k: (0, 0, c),
-                         memory_space=pltpu.VMEM),
+            src_spec,
         ],
-        out_specs=pl.BlockSpec((1, Ho, Wo, cb), lambda c, k: (k, 0, 0, c),
+        out_specs=pl.BlockSpec((1, 1, Ho, Wo, cb),
+                               lambda b, c, k: (b, k, 0, 0, c),
                                memory_space=pltpu.VMEM),
-        out_shape=jax.ShapeDtypeStruct((K, Ho, Wo, C), img.dtype),
+        out_shape=jax.ShapeDtypeStruct((B, K, Ho, Wo, C), img.dtype),
         compiler_params=pltpu.CompilerParams(
             vmem_limit_bytes=int(vmem_bytes)
         ),
@@ -195,7 +248,7 @@ def _pick_cb(C: int, H: int, W: int, Ho: int, Wo: int,
     Mosaic requires a block's minor dim to be 128-divisible or full-C.
     Bigger blocks mean fewer grid passes and wider MXU matmuls; v5e has
     128 MB VMEM, so the full C=384 agent block (53 MB) fits outright."""
-    budget = 96 << 20
+    budget = _PIPE_BUDGET
     per_c = 2 * (H * W + Ho * Wo) * itemsize
     if C * per_c <= budget or C % 128 != 0:
         return C
@@ -205,6 +258,27 @@ def _pick_cb(C: int, H: int, W: int, Ho: int, Wo: int,
         if C % cb == 0 and cb * per_c <= budget:
             best = cb
     return best
+
+
+@functools.lru_cache(maxsize=None)
+def _make_sampler(cb: int, gs: int, interpret: bool):
+    @jax.custom_batching.custom_vmap
+    def sample(img, grid):
+        out = _grid_sample_pallas_batched(img[None], grid[None], cb, gs,
+                                          interpret)
+        return out[0]
+
+    @sample.def_vmap
+    def _rule(axis_size, in_batched, img, grid):
+        img_b, grid_b = in_batched
+        if not img_b:
+            img = jnp.broadcast_to(img, (axis_size,) + img.shape)
+        if not grid_b:
+            grid = jnp.broadcast_to(grid, (axis_size,) + grid.shape)
+        return _grid_sample_pallas_batched(img, grid, cb, gs,
+                                           interpret), True
+
+    return sample
 
 
 @functools.partial(jax.custom_vjp, nondiff_argnums=(2,))
@@ -224,7 +298,7 @@ def grid_sample_shared_pallas(img, grid, interpret: bool = False):
     if Ho % gs or Wo % gs:
         gs = 8
     cb = _pick_cb(C, H, W, Ho, Wo, jnp.dtype(img.dtype).itemsize)
-    return _grid_sample_pallas_impl(img, grid, cb, gs, interpret)
+    return _make_sampler(cb, gs, interpret)(img, grid)
 
 
 def _fwd(img, grid, interpret):

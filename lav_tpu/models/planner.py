@@ -183,7 +183,8 @@ def _jitter(rng, shape_k, feature_x_jitter, feature_angle_jitter_rad):
 
 
 def bev_planner_forward(params, cfg: LAVConfig, bev, ego_locs, locs, oris,
-                        nxps, typs, rng, train: bool = True):
+                        nxps, typs, rng, train: bool = True,
+                        use_pallas_crop: Optional[bool] = None):
     """Teacher forward (reference bev_planner.py:74-176).
 
     bev (B, H, W, Cin) NHWC; ego_locs (B, T+1, 2); locs (B, max_objs, T+1, 2);
@@ -194,6 +195,8 @@ def bev_planner_forward(params, cfg: LAVConfig, bev, ego_locs, locs, oris,
     K = cfg.max_num_cars
     ang_jit = math.radians(cfg.feature_angle_jitter)
     r_sel, r_jit = jax.random.split(rng)
+    if use_pallas_crop is None:
+        use_pallas_crop = pallas_crop_available()
 
     ego_oris = oris[:, 0]
     o_locs, o_oris, o_typs = locs[:, 1:], oris[:, 1:], typs[:, 1:]
@@ -213,13 +216,17 @@ def bev_planner_forward(params, cfg: LAVConfig, bev, ego_locs, locs, oris,
         ori_jit = jnp.zeros((B, K))
 
     # crop every selected car's rotated BEV neighborhood — shared-source
-    # gather (K crops per item from ONE map; never tile the map K times)
+    # sampling (K crops per item from ONE map; never tile the map K times).
+    # On TPU the Pallas kernel also dodges the XLA gather's lane-padded
+    # neighborhood temp (~0.4 GiB/sample on 5-channel maps), which is what
+    # blocked reference-scale batch sizes.
     crop_other = jax.vmap(
         lambda f, l, o: crop_feature_shared(
             f, l, o,
             pixels_per_meter=cfg.pixels_per_meter,
             crop_size=cfg.crop_size * 2,
             offset_y=cfg.y_offset,
+            use_pallas=use_pallas_crop,
         )
     )(bev, rel_loc0 + loc_jit, rel_ori0 + ori_jit)
     crop_other = crop_other.reshape((B * K,) + crop_other.shape[2:])
@@ -235,6 +242,7 @@ def bev_planner_forward(params, cfg: LAVConfig, bev, ego_locs, locs, oris,
         pixels_per_meter=cfg.pixels_per_meter,
         crop_size=cfg.crop_size * 2,
         offset_y=cfg.y_offset,
+        use_pallas=use_pallas_crop,
     )
     ego_embd, st_ego = _conv_emb(params["bev_conv_emb"], crop_ego, train)
     ego_cast_locs = cast(params, ego_embd, cfg.num_plan)
@@ -268,6 +276,7 @@ def bev_planner_infer(params, cfg: LAVConfig, bev, nxps):
         pixels_per_meter=cfg.pixels_per_meter,
         crop_size=cfg.crop_size * 2,
         offset_y=cfg.y_offset,
+        use_pallas=pallas_crop_available(),
     )
     embd, _ = _conv_emb(params["bev_conv_emb"], crop_ego, False)
     cast_locs = cast(params, embd, cfg.num_plan)
@@ -353,12 +362,13 @@ def uniplanner_forward(params, cfg: LAVConfig, features, bev, ego_locs, locs,
         return out.reshape((B * K,) + out.shape[2:])
 
     # the student feature crop is the distillation trainer's dominant fetch
-    # (48 GB at bs=128 through the XLA gather) — Pallas-kernel it on TPU;
-    # the narrow-channel BEV teacher crop stays on the XLA path
+    # (48 GB at bs=128 through the XLA gather); the narrow-channel teacher
+    # BEV crop additionally carries a lane-padded (5->128) gather temp —
+    # both go through the Pallas kernel on TPU
     crop_other_feat = multi_crop(features, cfg.pixels_per_meter / 2,
                                  cfg.crop_size, use_pallas_crop)
     crop_other_bev = multi_crop(bev, cfg.pixels_per_meter,
-                                cfg.crop_size * 2, False)
+                                cfg.crop_size * 2, use_pallas_crop)
 
     other_locs = transform_points(fut - loc_jit[:, :, None], -rel_ori0 - ori_jit)
 
@@ -390,12 +400,14 @@ def uniplanner_forward(params, cfg: LAVConfig, features, bev, ego_locs, locs,
         pixels_per_meter=cfg.pixels_per_meter / 2,
         crop_size=cfg.crop_size,
         offset_y=cfg.y_offset,
+        use_pallas=use_pallas_crop,
     )
     crop_ego_bev = crop_feature(
         bev, eloc_jit, eori_jit,
         pixels_per_meter=cfg.pixels_per_meter,
         crop_size=cfg.crop_size * 2,
         offset_y=cfg.y_offset,
+        use_pallas=use_pallas_crop,
     )
 
     ego_embd, st_ego = _conv_emb(params["lidar_conv_emb"], crop_ego_feat, train)

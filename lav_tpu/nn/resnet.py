@@ -73,6 +73,10 @@ def resnet_init(key, layers_cfg: List[int], num_channels: int = 3, width: int = 
     return p
 
 
+# narrow-channel entry-conv rewrite switch (diagnosable knob)
+S2D_ENTRY_CONV = True
+
+
 def _conv1_space_to_depth(w, x):
     """Entry conv (7x7 stride 2 pad 3) as a space-to-depth conv.
 
@@ -94,6 +98,9 @@ def _conv1_space_to_depth(w, x):
 
     B, H, W, C = x.shape
     kh, kw, _, O = w.shape  # 7,7,C,O
+    # mixed-precision trains keep params f32 and cast activations; the conv
+    # wrapper normally handles the weight cast — mirror it here
+    w = w.astype(x.dtype)
     xp = jnp.pad(x, ((0, 0), (4, 4), (4, 4), (0, 0)))
     Hp, Wp = H + 8, W + 8
     x2 = xp.reshape(B, Hp // 2, 2, Wp // 2, 2, C)
@@ -113,7 +120,8 @@ def _conv1_space_to_depth(w, x):
 def resnet_apply(p, x, train: bool = False, layers_cfg=(2, 2, 2, 2)):
     """x: (B, H, W, C) -> layer4 features (B, H/32, W/32, 512-ish)."""
     state = {}
-    if x.shape[-1] <= 16 and x.shape[1] % 2 == 0 and x.shape[2] % 2 == 0:
+    if (S2D_ENTRY_CONV and x.shape[-1] <= 16
+            and x.shape[1] % 2 == 0 and x.shape[2] % 2 == 0):
         out = _conv1_space_to_depth(p["conv1"]["w"], x)
         if "b" in p["conv1"]:
             out = out + p["conv1"]["b"]
