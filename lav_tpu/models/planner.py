@@ -491,13 +491,21 @@ def uniplanner_infer(params, cfg: LAVConfig, features, det, cmd, nxp,
     # vmapped egos (v5e OOM); in bf16 everything fits and the single big
     # gather is ~15x faster than the serialized chunks (measured: the
     # chunked while-loop was 130 ms/tick vs 8 ms unchunked).
+    ego_embd = None
     if use_pallas_crop:
-        crop_other = crop_feature_shared(
-            features, olocs, ooris,
+        # fold the ego crop into the detection crops: same source, same
+        # crop geometry -> ONE kernel launch and one (K+1)-batch conv_emb /
+        # cast-bank pass instead of a K-batch plus a tiny 1-batch rerun
+        # (conv, eval-BN and cast are per-sample: numerically identical)
+        all_locs = jnp.concatenate([olocs, jnp.zeros((1, 2), olocs.dtype)])
+        all_oris = jnp.concatenate([ooris, jnp.zeros((1,), ooris.dtype)])
+        crop_all = crop_feature_shared(
+            features, all_locs, all_oris,
             pixels_per_meter=ppm / 2, crop_size=cfg.crop_size,
             offset_y=cfg.y_offset, use_pallas=True,
         )
-        other_embd, _ = _conv_emb(params["lidar_conv_emb"], crop_other, False)
+        all_embd, _ = _conv_emb(params["lidar_conv_emb"], crop_all, False)
+        other_embd, ego_embd = all_embd[:K], all_embd[K:]
     elif features.dtype == jnp.float32 and K > _det_chunk(K):
         chunk = _det_chunk(K)
 
@@ -522,27 +530,27 @@ def uniplanner_infer(params, cfg: LAVConfig, features, det, cmd, nxp,
             offset_y=cfg.y_offset,
         )
         other_embd, _ = _conv_emb(params["lidar_conv_emb"], crop_other, False)
-    other_cast_locs = cast(params, other_embd, cfg.num_plan)  # ego bank (quirk)
+    if ego_embd is not None:
+        # one cast-bank pass over the merged (K+1) embeddings (the others
+        # use the ego bank anyway — reference quirk, uniplanner.py:17-19)
+        all_cast_locs = cast(params, all_embd, cfg.num_plan)
+        other_cast_locs, ego_cast_locs = all_cast_locs[:K], all_cast_locs[K:]
+    else:
+        other_cast_locs = cast(params, other_embd, cfg.num_plan)  # ego bank
     other_cast_cmds = cast_cmd_pred(params, other_embd)
     # rotate each car's forecast back into the ego frame
     other_cast_locs = transform_points(
         other_cast_locs, ooris[:, None, None]
     ) + olocs[:, None, None]
 
-    if use_pallas_crop:
-        crop_ego = crop_feature_shared(
-            features, jnp.zeros((1, 2)), jnp.zeros((1,)),
-            pixels_per_meter=ppm / 2, crop_size=cfg.crop_size,
-            offset_y=cfg.y_offset, use_pallas=True,
-        )
-    else:
+    if ego_embd is None:
         crop_ego = crop_feature(
             features[None], jnp.zeros((1, 2)), jnp.zeros((1,)),
             pixels_per_meter=ppm / 2, crop_size=cfg.crop_size,
             offset_y=cfg.y_offset,
         )
-    ego_embd, _ = _conv_emb(params["lidar_conv_emb"], crop_ego, False)
-    ego_cast_locs = cast(params, ego_embd, cfg.num_plan)
+        ego_embd, _ = _conv_emb(params["lidar_conv_emb"], crop_ego, False)
+        ego_cast_locs = cast(params, ego_embd, cfg.num_plan)
     ego_plan_all = plan(
         params, ego_embd, nxp[None], ego_cast_locs,
         num_plan=cfg.num_plan, num_plan_iter=cfg.num_plan_iter,

@@ -137,3 +137,36 @@ def test_uniplanner_forward_distill_grad(rng):
     )
     assert student_norm > 0
     assert teacher_norm == 0.0
+
+
+def test_uniplanner_infer_merged_crop_path(rng):
+    """The TPU route folds the ego crop into the detection crops (one
+    kernel launch, one conv_emb/cast pass) — must equal the separate-crop
+    fallback exactly.  On CPU use_pallas_crop=True exercises the merged
+    logic with the XLA sampler (compiled Pallas falls back off-TPU)."""
+    import numpy as np
+    from lav_tpu.config import tiny_config
+    from lav_tpu.models.planner import uniplanner_init, uniplanner_infer
+
+    cfg = tiny_config()
+    params = uniplanner_init(jax.random.key(0), cfg)
+    nrng = np.random.default_rng(11)
+    Hf = Wf = cfg.ny // 2
+    feats = jnp.asarray(nrng.uniform(
+        -1, 1, (Hf, Wf, cfg.uniplanner_input_channels)).astype(np.float32))
+    K = 4
+    det = dict(
+        x=jnp.asarray(nrng.uniform(0, cfg.nx, (K,)).astype(np.float32)),
+        y=jnp.asarray(nrng.uniform(0, cfg.ny, (K,)).astype(np.float32)),
+        w=jnp.ones((K,)), h=jnp.ones((K,)),
+        cos=jnp.asarray(np.cos(nrng.uniform(-3, 3, (K,))).astype(np.float32)),
+        sin=jnp.asarray(np.sin(nrng.uniform(-3, 3, (K,))).astype(np.float32)),
+        valid=jnp.ones((K,), bool),
+    )
+    a = uniplanner_infer(params, cfg, feats, det, jnp.asarray(1),
+                         jnp.asarray([2.0, -3.0]), use_pallas_crop=False)
+    b = uniplanner_infer(params, cfg, feats, det, jnp.asarray(1),
+                         jnp.asarray([2.0, -3.0]), use_pallas_crop=True)
+    for x, y in zip(a, b):
+        np.testing.assert_allclose(np.asarray(x), np.asarray(y),
+                                   atol=1e-5, rtol=1e-5)

@@ -80,3 +80,39 @@ def test_pallas_vmapped_over_egos(rng):
     )
     np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
                                atol=1e-5, rtol=1e-5)
+
+
+def test_pallas_teacher_shape_route(rng):
+    """The 192px teacher BEV crops: narrow-C (5) f32 source, gs=8 route,
+    rolled group loop, single-buffered source window on TPU — pin the
+    interpret-mode semantics + grad + vmap of that configuration
+    (reference bev_planner.py:94 crops at crop_size*2 from the 320px map)."""
+    nrng = np.random.default_rng(8)
+    B, K, H, C, crop = 2, 3, 96, 5, 48  # same H/crop ratio as 320/192
+    imgs = jnp.asarray(nrng.normal(size=(B, H, H, C)), jnp.float32)
+    grids = jnp.stack(
+        [_random_grids(nrng, K, H, H, crop, ppm=4.0, big_offsets=True)
+         for _ in range(B)]
+    )
+    step = (crop / H) * (H - 1) / (crop - 1)
+    assert supports((H, H, C), (crop, crop), step)
+
+    ref = jax.vmap(grid_sample_shared)(imgs, grids)
+    out = jax.vmap(lambda i, g: grid_sample_shared_pallas(i, g, True))(
+        imgs, grids
+    )
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
+                               atol=5e-5, rtol=1e-4)
+
+    def loss_pal(im):
+        return jax.vmap(
+            lambda i, g: grid_sample_shared_pallas(i, g, True)
+        )(im, grids).sum()
+
+    def loss_ref(im):
+        return jax.vmap(grid_sample_shared)(im, grids).sum()
+
+    g_pal = jax.grad(loss_pal)(imgs)
+    g_ref = jax.grad(loss_ref)(imgs)
+    np.testing.assert_allclose(np.asarray(g_pal), np.asarray(g_ref),
+                               atol=5e-5, rtol=1e-4)
