@@ -39,6 +39,11 @@ from lav_tpu.nn.resnet import resnet18_init, resnet_apply
 
 EMBD = 512  # resnet18 layer4 channels / GRU hidden size
 
+# route the distill trainer's frozen-teacher BEV crops through the Pallas
+# kernel (True) or XLA's fused gather (False) — see uniplanner_forward for
+# the measured memory trade; flipped per-run by the bf16 trainer
+PALLAS_BEV_CROPS = True
+
 
 # ---------------------------------------------------------------------------
 # shared cast/plan core
@@ -362,13 +367,18 @@ def uniplanner_forward(params, cfg: LAVConfig, features, bev, ego_locs, locs,
         return out.reshape((B * K,) + out.shape[2:])
 
     # the student feature crop is the distillation trainer's dominant fetch
-    # (48 GB at bs=128 through the XLA gather); the narrow-channel teacher
-    # BEV crop additionally carries a lane-padded (5->128) gather temp —
-    # both go through the Pallas kernel on TPU
+    # (48 GB at bs=128 through the XLA gather) — always Pallas on TPU.  The
+    # teacher BEV crops are gated separately: the Pallas kernel materializes
+    # the (B*K, 2*crop, 2*crop, C) crops that XLA's gather form fuses into
+    # the teacher conv, which costs HBM headroom at f32 batch sizes
+    # (measured: f32 bs=32 fits with XLA bev crops, misses by ~300 MB with
+    # Pallas ones) — while at bf16/big-B the XLA form's lane-padded tap
+    # temps are what OOM.  PALLAS_BEV_CROPS flips the trade.
+    bev_pallas = use_pallas_crop and PALLAS_BEV_CROPS
     crop_other_feat = multi_crop(features, cfg.pixels_per_meter / 2,
                                  cfg.crop_size, use_pallas_crop)
     crop_other_bev = multi_crop(bev, cfg.pixels_per_meter,
-                                cfg.crop_size * 2, use_pallas_crop)
+                                cfg.crop_size * 2, bev_pallas)
 
     other_locs = transform_points(fut - loc_jit[:, :, None], -rel_ori0 - ori_jit)
 
@@ -407,7 +417,7 @@ def uniplanner_forward(params, cfg: LAVConfig, features, bev, ego_locs, locs,
         pixels_per_meter=cfg.pixels_per_meter,
         crop_size=cfg.crop_size * 2,
         offset_y=cfg.y_offset,
-        use_pallas=use_pallas_crop,
+        use_pallas=bev_pallas,
     )
 
     ego_embd, st_ego = _conv_emb(params["lidar_conv_emb"], crop_ego_feat, train)

@@ -54,7 +54,8 @@ def bench_bev(bs: int, v2: bool):
         typs=jnp.ones((bs, N), jnp.int32),
     )
     inner = make_bev_train_step(cfg, opt, v2=v2)
-    step = jax.jit(lambda p, o, b, r: inner(p, o, b, r, 1.0))
+    step = jax.jit(lambda p, o, b, r: inner(p, o, b, r, 1.0),
+                   donate_argnums=(0, 1))
     return timeit_steps(step, params, opt_state, batch, jax.random.key(1))
 
 
@@ -92,7 +93,7 @@ def bench_full(bs: int, v2: bool, max_points: int, dtype="float32",
     )
     step = jax.jit(make_full_train_step(
         cfg, opt, v2=v2, mode="full", compute_dtype=jnp.dtype(dtype),
-        remat=remat))
+        remat=remat), donate_argnums=(0, 1))
     return timeit_steps(step, params, opt_state, batch, jax.random.key(1))
 
 

@@ -381,3 +381,83 @@ def test_oracle_uniplanner_forward_distill(rng, monkeypatch):
             ja = np.asarray(jarr).reshape((B, K) + jarr.shape[2:])[b]
             ta = tarr.numpy().reshape((B, K) + tuple(tarr.shape[1:]))[b]
             np.testing.assert_allclose(ja, ta[match], **TOL)
+
+
+def test_oracle_bev_planner_forward(rng, monkeypatch):
+    """Teacher training-path parity (reference bev_planner.py:74-176):
+    zero jitter (torch.rand patched to 0.5), all qualifying cars <=
+    max_num_cars so no random subsample; compares other-car casts (order
+    matched on other_locs) and the ego plan/cast/cmd heads."""
+    from lav.models.bev_planner import BEVPlanner
+    from lav_tpu.models.planner import bev_planner_init, bev_planner_forward
+
+    torch.manual_seed(6)
+    m = BEVPlanner(pixels_per_meter=4, crop_size=32, num_plan=10,
+                   num_plan_iter=5).eval()
+    cfg = _bev_cfg()
+    assert cfg.max_num_cars == 5
+
+    def _half_rand(*s, **k):
+        if len(s) == 1 and isinstance(s[0], (tuple, torch.Size)):
+            s = tuple(s[0])
+        return torch.full(s, 0.5)
+
+    monkeypatch.setattr(torch, "rand", _half_rand, raising=True)
+
+    B, N, T = 2, 6, cfg.num_plan  # slot 0 ego + 5 others == max_num_cars
+    bev = rng.uniform(0, 1, (B, 5, 96, 96)).astype(np.float32)
+    ego_locs = np.cumsum(
+        rng.uniform(-0.3, 0.3, (B, T + 1, 2)), axis=1
+    ).astype(np.float32)
+    locs = np.cumsum(
+        rng.uniform(-0.4, 0.4, (B, N, T + 1, 2)), axis=2
+    ).astype(np.float32)
+    locs[:, :, 0] += rng.uniform(-8, 8, (B, N, 2))
+    locs[..., 1] -= 10.0  # all ahead of the ego -> every slot qualifies
+    locs[:, 0] = ego_locs  # slot 0 is the ego
+    oris = rng.uniform(-np.pi, np.pi, (B, N)).astype(np.float32)
+    typs = np.ones((B, N), np.int64)
+    nxps = rng.uniform(-5, 5, (B, 2)).astype(np.float32)
+
+    with torch.no_grad():
+        (t_olocs, t_ocast, t_ocmds, t_eplan, t_ecast, t_ecmds) = m(
+            torch.tensor(bev),
+            torch.tensor(ego_locs), torch.tensor(locs),
+            torch.tensor(oris), torch.tensor(nxps), torch.tensor(typs),
+        )
+
+    params = jax.tree.map(
+        jnp.asarray, W.convert_bev_planner(_sd(m), num_cmds=6)
+    )
+    out, _ = bev_planner_forward(
+        params, cfg, jnp.asarray(bev.transpose(0, 2, 3, 1)),
+        jnp.asarray(ego_locs), jnp.asarray(locs), jnp.asarray(oris),
+        jnp.asarray(nxps), jnp.asarray(typs), jax.random.key(0),
+        train=False,  # zero jitter, matching the patched torch.rand
+    )
+
+    np.testing.assert_allclose(np.asarray(out.ego_plan_locs),
+                               t_eplan.numpy(), **TOL)
+    np.testing.assert_allclose(np.asarray(out.ego_cast_locs),
+                               t_ecast.numpy(), **TOL)
+    np.testing.assert_allclose(np.asarray(out.ego_cast_cmds),
+                               t_ecmds.numpy(), **TOL)
+
+    # other-car slots: match jax slots to torch rows by nearest other_locs
+    assert bool(np.asarray(out.car_valid).all())
+    K = cfg.max_num_cars
+    j_olocs = np.asarray(out.other_locs).reshape(B, K, T, 2)
+    t_olocs_np = t_olocs.numpy().reshape(B, K, T, 2)
+    j_ocast = np.asarray(out.other_cast_locs)
+    j_ocmds = np.asarray(out.other_cast_cmds)
+    t_ocast_np = t_ocast.numpy().reshape(B, K, cfg.num_cmds, T, 2)
+    t_ocmds_np = t_ocmds.numpy().reshape(B, K, cfg.num_cmds)
+    for b in range(B):
+        d = np.linalg.norm(
+            j_olocs[b][:, None] - t_olocs_np[b][None], axis=(-1, -2)
+        )
+        match = d.argmin(axis=1)
+        assert sorted(match.tolist()) == list(range(K))
+        np.testing.assert_allclose(j_olocs[b], t_olocs_np[b][match], **TOL)
+        np.testing.assert_allclose(j_ocast[b], t_ocast_np[b][match], **TOL)
+        np.testing.assert_allclose(j_ocmds[b], t_ocmds_np[b][match], **TOL)
