@@ -31,6 +31,16 @@ def _conv_block_init(key, cin, cout):
 
 
 def _conv_block(p, x, stride, train):
+    w = p["conv"]["w"]
+    if x.shape[-1] > w.shape[2]:
+        # lane-padded canvas (ops/pillar.py PAD_CANVAS_LANES): zero-pad the
+        # input-channel dim of the kernel — identical math, and the conv
+        # consumes the scatter's (..., 128) layout without a retile pass
+        p = dict(p, conv=dict(
+            p["conv"],
+            w=jnp.pad(w, ((0, 0), (0, 0), (0, x.shape[-1] - w.shape[2]),
+                          (0, 0))),
+        ))
     out = L.conv2d(p["conv"], x, stride=stride, padding=1)
     out = jax.nn.relu(out)
     out, st = L.batchnorm(p["bn"], out, train, **_BN_CFG)

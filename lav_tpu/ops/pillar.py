@@ -25,6 +25,10 @@ import jax.numpy as jnp
 
 from lav_tpu.nn import layers as L
 
+# inference knob: emit the pillar canvas 128 lanes wide (see the zero-init
+# scatter fast path) so the downstream conv skips the 64->128 retile
+PAD_CANVAS_LANES = True
+
 
 def compute_pillar_ids(
     points,
@@ -211,6 +215,14 @@ def point_pillar_apply(
         # tie-breaking against the 0 init would reroute gradients at
         # exact-zero ReLU outputs.
         C = feat.shape[-1]
+        if PAD_CANVAS_LANES and C < 128:
+            # emit the canvas 128 lanes wide: the scatter is issue-bound
+            # (width 64 vs 128 is the same speed) and a (..., 128) canvas
+            # is already in the conv's tile layout — the backbone zero-pads
+            # its entry-conv input channels to match (exact same math),
+            # skipping XLA's canvas retile pass
+            feat = jnp.pad(feat, ((0, 0), (0, 0), (0, 128 - C)))
+            C = 128
         canvas = jnp.zeros((Bq * num_segments, C), feat.dtype)
         canvas = canvas.at[pid_flat].max(feat.reshape(-1, C))
         canvas = canvas.reshape(Bq, num_segments, C)[:, : ny * nx]

@@ -69,4 +69,9 @@ def test_pillar_canvas_matches_oracle(rng):
         num_features=num_features, train=False, **GEO,
     )
     ref = _oracle(params, pts, valid, num_features)
-    np.testing.assert_allclose(np.asarray(canvas[0]), ref, atol=2e-4)
+    # inference canvases are emitted 128 lanes wide (PAD_CANVAS_LANES);
+    # the payload channels must match the oracle and the pad must be zero
+    C = num_features[-1]
+    np.testing.assert_allclose(np.asarray(canvas[0, :, :, :C]), ref,
+                               atol=2e-4)
+    assert not np.any(np.asarray(canvas[0, :, :, C:]))
