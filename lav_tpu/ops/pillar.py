@@ -29,6 +29,13 @@ from lav_tpu.nn import layers as L
 # scatter fast path) so the downstream conv skips the 64->128 retile
 PAD_CANVAS_LANES = True
 
+# fold the decoration into the first MLP layer (algebraic identity — see
+# _fused_decoration_layer).  MEASURED SLOWER in the 16-ego agent tick
+# (96.7-99.1 vs 92.4 ms): the wide per-point accumulator gather / segment-
+# space embedding cost more than the narrow-fusion chain XLA builds for the
+# materialized path.  Kept as a verified-equal knob; off by default.
+FUSED_DECORATION = False
+
 
 def compute_pillar_ids(
     points,
@@ -130,6 +137,65 @@ def decorate_points(points, pid, keep, ix, iy, *, min_x, min_y,
     )
 
 
+def _fused_decoration_layer(p0, points, pid, keep, ix, iy, *, min_x: float,
+                            min_y: float, pixels_per_meter: float,
+                            num_segments: int):
+    """First point-MLP layer with the decoration folded in ALGEBRAICALLY.
+
+    The decoration (decorate_points) is affine in (point, per-pillar xyz
+    mean, cell center), so  dec @ W  decomposes exactly:
+
+        h = dec @ W
+          = [p, xyz - mean, px - cx, py - cy] @ [Wp; Wc; wx; wy]
+          = p @ (Wp + pad3(Wc) + e0 wx + e1 wy)        (one matmul)
+            - (acc @ pad128(Wc)) / cnt  gathered by pid (64-wide rows)
+            - cx wx - cy wy                            (rank-1 broadcasts)
+
+    This removes every narrow lane-padded intermediate of the materialized
+    path — the (N,3) cluster array, the (N,D+5) concat, the 3-wide mean
+    gather — which cost ~5-7 ms/tick in layout churn at 16 egos (the
+    786k-row prep fusion + transposes).  The mean scatter-add itself is
+    unchanged; its gather-back becomes 64-wide embedding rows.  Values and
+    gradients are identical up to summation order (the reference wraps
+    decoration in no_grad; here mean/centers are pure data, and d/dWc
+    through the two Wc terms sums to cluster^T g exactly).
+
+    QUIRK preserved: cell centers read CROSSED columns — cx from iy + min_x,
+    cy from ix + min_y (reference point_pillar.py:57-58).
+
+    points (N, D) already painted; returns (h (N, F), acc) where acc is the
+    (num_segments, 128) mean-scatter accumulator [sum_xyz, count, 0...].
+    """
+    D = points.shape[-1]
+    dt = points.dtype
+    W = jnp.asarray(p0["w"]).astype(dt)
+    Wp, Wc, wx, wy = W[:D], W[D:D + 3], W[D + 3], W[D + 4]
+    A = Wp.at[:3].add(Wc).at[0].add(wx).at[1].add(wy)
+
+    xyz = jnp.where(keep[:, None], points[:, :3], 0.0)
+    ones = keep.astype(dt)[:, None]
+    packed = jnp.concatenate([xyz, ones], axis=-1)
+    packed = jnp.pad(packed, ((0, 0), (0, 128 - packed.shape[-1])))
+    acc = jnp.zeros((num_segments, 128), dt)
+    acc = acc.at[pid].add(packed)
+
+    # per-pillar mean embedding: (sum_xyz @ Wc) / cnt == mean @ Wc.  Gather
+    # the 128-wide accumulator rows FIRST and do the matmul in point space —
+    # N (786k at 16 egos) is smaller than the batch-folded segment space
+    # (1.64M), and the (S, F) embedding never materializes.
+    rows = acc[pid]                                   # (N, 128)
+    Wc_pad = jnp.zeros((128, Wc.shape[-1]), dt).at[:3].set(Wc)
+    cnt = jnp.maximum(rows[:, 3:4], 1.0)
+    memb = (rows @ Wc_pad) / cnt                      # (N, F)
+
+    cx = iy.astype(dt) / pixels_per_meter + min_x
+    cy = ix.astype(dt) / pixels_per_meter + min_y
+    h = points @ A - memb - cx[:, None] * wx - cy[:, None] * wy
+    if "b" in p0:
+        h = h + p0["b"].astype(dt)
+    return h
+
+
 def point_pillar_init(key, num_input: int, num_features: Sequence[int]):
     ks = jax.random.split(key, len(num_features))
     p = {}
@@ -182,20 +248,35 @@ def point_pillar_apply(
     offs = (jnp.arange(Bq, dtype=pid.dtype) * num_segments)[:, None]
     pid_flat = (pid + offs).reshape(-1)
 
-    # decoration is constant w.r.t. params (reference wraps it in no_grad)
-    dec = decorate_points(
-        points.reshape(-1, points.shape[-1]), pid_flat, keep.reshape(-1),
-        ix.reshape(-1), iy.reshape(-1),
-        min_x=min_x, min_y=min_y, pixels_per_meter=pixels_per_meter,
-        nx=nx, ny=ny, num_segments=Bq * num_segments,
-    ).reshape(Bq, points.shape[1], -1)
-    dec = jax.lax.stop_gradient(dec)
+    state = {}
+    if FUSED_DECORATION:
+        # decoration folded into the first linear layer (identical values
+        # and gradients; see _fused_decoration_layer)
+        h = _fused_decoration_layer(
+            p["linear_0"], points.reshape(-1, points.shape[-1]), pid_flat,
+            keep.reshape(-1), ix.reshape(-1), iy.reshape(-1),
+            min_x=min_x, min_y=min_y, pixels_per_meter=pixels_per_meter,
+            num_segments=Bq * num_segments,
+        )
+        feat = h.reshape(Bq, points.shape[1], -1)
+        feat, state["bn_0"] = L.batchnorm(p["bn_0"], feat, train, mask=keep)
+        feat = jax.nn.relu(feat)
+        start = 1
+    else:
+        # decoration is constant w.r.t. params (reference wraps it in
+        # no_grad)
+        dec = decorate_points(
+            points.reshape(-1, points.shape[-1]), pid_flat, keep.reshape(-1),
+            ix.reshape(-1), iy.reshape(-1),
+            min_x=min_x, min_y=min_y, pixels_per_meter=pixels_per_meter,
+            nx=nx, ny=ny, num_segments=Bq * num_segments,
+        ).reshape(Bq, points.shape[1], -1)
+        feat = jax.lax.stop_gradient(dec)
+        start = 0
 
     # per-point MLP with batch-wide masked BN (reference flattens the whole
     # batch into one point list before BN1d, point_pillar.py:109-114)
-    feat = dec
-    state = {}
-    for i in range(len(num_features)):
+    for i in range(start, len(num_features)):
         feat = L.linear(p[f"linear_{i}"], feat)
         feat, state[f"bn_{i}"] = L.batchnorm(p[f"bn_{i}"], feat, train, mask=keep)
         feat = jax.nn.relu(feat)

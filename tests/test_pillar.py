@@ -75,3 +75,52 @@ def test_pillar_canvas_matches_oracle(rng):
     np.testing.assert_allclose(np.asarray(canvas[0, :, :, :C]), ref,
                                atol=2e-4)
     assert not np.any(np.asarray(canvas[0, :, :, C:]))
+
+
+def test_fused_decoration_matches_materialized(rng):
+    """The algebraic fold of decorate_points into linear_0 must match the
+    materialized path in values AND parameter gradients (the decoration is
+    no_grad data, so d/dW is cluster^T g either way)."""
+    import lav_tpu.ops.pillar as PP
+
+    num_features = [8, 8]
+    D = 9  # painted-ish width
+    params = point_pillar_init(jax.random.key(5), D + 5, num_features)
+    B, P = 2, 300
+    pts = jnp.asarray(rng.uniform(-6, 6, size=(B, P, D)).astype(np.float32))
+    valid = jnp.asarray(rng.uniform(size=(B, P)) > 0.3)
+
+    def run(fused, train):
+        old = PP.FUSED_DECORATION
+        PP.FUSED_DECORATION = fused
+        try:
+            return point_pillar_apply(params, pts, valid,
+                                      num_features=num_features,
+                                      train=train, **GEO)
+        finally:
+            PP.FUSED_DECORATION = old
+
+    for train in (False, True):
+        a, _ = run(False, train)
+        b, _ = run(True, train)
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   atol=2e-4, rtol=1e-4)
+
+    def loss(p, fused):
+        old = PP.FUSED_DECORATION
+        PP.FUSED_DECORATION = fused
+        try:
+            canvas, _ = point_pillar_apply(p, pts, valid,
+                                           num_features=num_features,
+                                           train=True, **GEO)
+        finally:
+            PP.FUSED_DECORATION = old
+        return jnp.sum(canvas ** 2)
+
+    g0 = jax.grad(lambda p: loss(p, False))(params)
+    g1 = jax.grad(lambda p: loss(p, True))(params)
+    jax.tree.map(
+        lambda x, y: np.testing.assert_allclose(
+            np.asarray(x), np.asarray(y), atol=5e-3, rtol=1e-3),
+        g0, g1,
+    )
