@@ -97,9 +97,53 @@ def bench_full(bs: int, v2: bool, max_points: int, dtype="float32",
     return timeit_steps(step, params, opt_state, batch, jax.random.key(1))
 
 
+def bench_seg(bs: int):
+    """ERFNet seg stage at the reference batch regime (train_seg.py:46)."""
+    from lav_tpu.config import v1_config
+    from lav_tpu.models.rgb import seg_model_init
+    from lav_tpu.train.privileged import make_seg_train_step
+
+    cfg = v1_config()
+    n_sem = len(cfg.seg_channels)
+    params = seg_model_init(jax.random.key(0), n_sem)
+    opt = optax.adam(3e-4)
+    opt_state = opt.init(params)
+    rng = np.random.default_rng(0)
+    batch = dict(
+        rgb=jnp.asarray(rng.uniform(0, 255, (bs, 288, 256, 3)).astype(np.float32)),
+        sem=jnp.asarray(rng.integers(0, n_sem + 1, (bs, 288, 256)).astype(np.int32)),
+    )
+    step = jax.jit(make_seg_train_step(cfg, opt), donate_argnums=(0, 1))
+    return timeit_steps(step, params, opt_state, batch, jax.random.key(1))
+
+
+def bench_bra(bs: int, version: int = 2):
+    """Brake-prediction stage (train_bra.py:46; wide 3-cam concat + tele)."""
+    from lav_tpu.config import v1_config
+    from lav_tpu.models.rgb import brake_model_init
+    from lav_tpu.train.privileged import make_bra_train_step
+
+    cfg = v1_config()
+    n_sem = 3
+    params = brake_model_init(jax.random.key(0), n_sem, version=version)
+    opt = optax.adam(3e-4)
+    opt_state = opt.init(params)
+    rng = np.random.default_rng(0)
+    batch = dict(
+        rgb=jnp.asarray(rng.uniform(0, 255, (bs, 288, 768, 3)).astype(np.float32)),
+        tel_rgb=jnp.asarray(rng.uniform(0, 255, (bs, 192, 480, 3)).astype(np.float32)),
+        sem=jnp.asarray(rng.integers(0, n_sem + 1, (bs, 288, 768)).astype(np.int32)),
+        tel_sem=jnp.asarray(rng.integers(0, n_sem + 1, (bs, 192, 480)).astype(np.int32)),
+        bra=jnp.asarray(rng.integers(0, 2, (bs,)).astype(np.int32)),
+    )
+    step = jax.jit(make_bra_train_step(cfg, opt, version=version),
+                   donate_argnums=(0, 1))
+    return timeit_steps(step, params, opt_state, batch, jax.random.key(1))
+
+
 def main():
     p = argparse.ArgumentParser()
-    p.add_argument("--stage", choices=["bev", "full"], default="bev")
+    p.add_argument("--stage", choices=["bev", "seg", "bra", "full"], default="bev")
     p.add_argument("--batch-size", type=int, default=64)
     p.add_argument("--v2", action="store_true")
     p.add_argument("--max-points", type=int, default=16384)
@@ -110,6 +154,10 @@ def main():
 
     if args.stage == "bev":
         sec = bench_bev(args.batch_size, args.v2)
+    elif args.stage == "seg":
+        sec = bench_seg(args.batch_size)
+    elif args.stage == "bra":
+        sec = bench_bra(args.batch_size, version=2 if args.v2 else 1)
     else:
         sec = bench_full(args.batch_size, args.v2, args.max_points,
                          args.dtype, args.remat)
