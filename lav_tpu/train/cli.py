@@ -29,7 +29,8 @@ from lav_tpu.data.loader import DataLoader
 from lav_tpu.models.lidar import lidar_model_init
 from lav_tpu.models.planner import bev_planner_init, uniplanner_init
 from lav_tpu.models.rgb import brake_model_init, seg_model_init
-from lav_tpu.parallel import batch_sharding, make_mesh, replicate
+from lav_tpu.parallel import (batch_sharding, make_hybrid_mesh,
+                              make_mesh, replicate)
 from lav_tpu.train.checkpoints import load_checkpoint, save_checkpoint
 from lav_tpu.train.distill import make_full_train_step
 from lav_tpu.train.privileged import (
@@ -56,6 +57,12 @@ def _common_args(p: argparse.ArgumentParser):
                    help="torchvision resnet18 state_dict .pth for "
                         "ImageNet-pretrained backbone init (reference "
                         "rgb.py pretrained=True)")
+    p.add_argument("--dcn-slices", type=int, default=0,
+                   help="data-parallel across N TPU slices: builds a "
+                        "(dcn, data) hybrid mesh whose minor axis rides "
+                        "ICI and whose major axis crosses DCN; gradients "
+                        "reduce hierarchically (within-slice first). 0 = "
+                        "single-slice 1-D data mesh")
     p.add_argument("--grad-accum", type=int, default=1,
                    help="accumulate gradients over N micro-batches before "
                         "each optimizer update (effective batch = "
@@ -88,7 +95,10 @@ def _train_loop(stage, cfg, args, params, make_step, dataset, optimizer,
                 defaults, v2_extra_arg=False):
     bs = args.batch_size or defaults["bs"]
     epochs = args.num_epoch or defaults["epochs"]
-    mesh = make_mesh()
+    if getattr(args, "dcn_slices", 0):
+        mesh = make_hybrid_mesh(n_slices=args.dcn_slices)
+    else:
+        mesh = make_mesh()
     n_dev = mesh.devices.size
     if bs % n_dev:
         raise ValueError(

@@ -228,3 +228,29 @@ def test_bev_train_step_data_parallel(rng):
     batch = shard_batch(mesh, _bev_batch(rng, cfg, B=8))
     params, opt_state, m = step(params, opt_state, batch, jax.random.key(5))
     assert np.isfinite(float(m["loss"]))
+
+
+def test_bev_train_step_hybrid_dcn_mesh(rng):
+    """(dcn=2, data=4) hybrid mesh: batch sharded over BOTH axes, loss
+    EQUAL to the single-device step on the same global batch (XLA's
+    hierarchical all-reduce changes nothing numerically at f32 tolerance)."""
+    from lav_tpu.parallel import make_hybrid_mesh
+
+    cfg = CFG
+    mesh = make_hybrid_mesh(n_slices=2, n_devices=8)
+    assert mesh.axis_names == ("dcn", "data") and mesh.devices.shape == (2, 4)
+    params0 = bev_planner_init(jax.random.key(0), cfg)
+    opt = optax.adam(1e-3)
+    batch = _bev_batch(rng, cfg, B=8)
+
+    step = jax.jit(make_bev_train_step(cfg, opt))
+    _, _, m1 = step(params0, opt.init(params0), batch, jax.random.key(5))
+
+    params = replicate(mesh, params0)
+    opt_state = replicate(mesh, opt.init(params))
+    sharded = shard_batch(mesh, batch)
+    for leaf in jax.tree.leaves(sharded):
+        assert not leaf.sharding.is_fully_replicated
+    _, _, m2 = step(params, opt_state, sharded, jax.random.key(5))
+    np.testing.assert_allclose(float(m1["loss"]), float(m2["loss"]),
+                               rtol=1e-5)
