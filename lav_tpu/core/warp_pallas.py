@@ -95,9 +95,11 @@ def supports(img_shape, out_hw, step_px: float, itemsize: int = 4) -> bool:
     if not (gs and Ho % gs == 0 and Wo % gs == 0 and H >= TSY and W >= TSX):
         return False
     if C % 128 == 0:
-        # wide sources are channel-blockable; _pick_cb always finds a
-        # double-buffered block that fits
-        return True
+        # wide sources are channel-blockable, but the SMALLEST block
+        # (cb=128) must still fit double-buffered — huge H*W sources
+        # can't, and must fall back to the XLA path rather than commit to
+        # a Mosaic compile that overflows VMEM
+        return 2 * (H * W + Ho * Wo) * 128 * itemsize <= _PIPE_BUDGET
     # narrow sources ride full-C with a single-buffered source window
     cpad = _pad128(C)
     return (H * W + 2 * Ho * Wo) * cpad * itemsize <= _SINGLEBUF_BUDGET
@@ -271,10 +273,18 @@ def _make_sampler(cb: int, gs: int, interpret: bool):
     @sample.def_vmap
     def _rule(axis_size, in_batched, img, grid):
         img_b, grid_b = in_batched
-        if not img_b:
-            img = jnp.broadcast_to(img, (axis_size,) + img.shape)
         if not grid_b:
             grid = jnp.broadcast_to(grid, (axis_size,) + grid.shape)
+        if not img_b:
+            # ONE shared source for all batch elements: fold the batch into
+            # the crop axis instead of materializing axis_size HBM copies
+            # of the map (that is the kernel's whole single-source design)
+            B, K, Ho, Wo, _ = grid.shape
+            out = _grid_sample_pallas_batched(
+                img[None], grid.reshape(1, B * K, Ho, Wo, 2), cb, gs,
+                interpret,
+            )
+            return out.reshape(B, K, Ho, Wo, -1), True
         return _grid_sample_pallas_batched(img, grid, cb, gs,
                                            interpret), True
 

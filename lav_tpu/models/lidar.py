@@ -32,14 +32,16 @@ def _conv_block_init(key, cin, cout):
 
 def _conv_block(p, x, stride, train):
     w = p["conv"]["w"]
-    if x.shape[-1] > w.shape[2]:
-        # lane-padded canvas (ops/pillar.py PAD_CANVAS_LANES): zero-pad the
-        # input-channel dim of the kernel — identical math, and the conv
-        # consumes the scatter's (..., 128) layout without a retile pass
+    if x.shape[-1] == 128 and w.shape[2] < 128:
+        # lane-padded canvas (ops/pillar.py PAD_CANVAS_LANES pads to
+        # exactly 128): zero-pad the input-channel dim of the kernel —
+        # identical math, and the conv consumes the scatter's (..., 128)
+        # layout without a retile pass.  The ==128 guard keeps genuine
+        # channel mismatches loud (conv shape error) instead of silently
+        # zeroing real features.
         p = dict(p, conv=dict(
             p["conv"],
-            w=jnp.pad(w, ((0, 0), (0, 0), (0, x.shape[-1] - w.shape[2]),
-                          (0, 0))),
+            w=jnp.pad(w, ((0, 0), (0, 0), (0, 128 - w.shape[2]), (0, 0))),
         ))
     out = L.conv2d(p["conv"], x, stride=stride, padding=1)
     out = jax.nn.relu(out)

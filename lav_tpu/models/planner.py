@@ -39,10 +39,11 @@ from lav_tpu.nn.resnet import resnet18_init, resnet_apply
 
 EMBD = 512  # resnet18 layer4 channels / GRU hidden size
 
-# route the distill trainer's frozen-teacher BEV crops through the Pallas
-# kernel (True) or XLA's fused gather (False) — see uniplanner_forward for
-# the measured memory trade; flipped per-run by the bf16 trainer
-PALLAS_BEV_CROPS = True
+# distill trainer's frozen-teacher BEV crop route: None = auto (Pallas for
+# bf16 sources — 28% faster step; XLA's fused gather for f32 — the Pallas
+# form materializes crops and misses HBM by ~300 MB at f32 bs=32).  Set
+# True/False to force either route.  See uniplanner_forward.
+PALLAS_BEV_CROPS = None
 
 
 # ---------------------------------------------------------------------------
@@ -372,9 +373,13 @@ def uniplanner_forward(params, cfg: LAVConfig, features, bev, ego_locs, locs,
     # the (B*K, 2*crop, 2*crop, C) crops that XLA's gather form fuses into
     # the teacher conv, which costs HBM headroom at f32 batch sizes
     # (measured: f32 bs=32 fits with XLA bev crops, misses by ~300 MB with
-    # Pallas ones) — while at bf16/big-B the XLA form's lane-padded tap
-    # temps are what OOM.  PALLAS_BEV_CROPS flips the trade.
-    bev_pallas = use_pallas_crop and PALLAS_BEV_CROPS
+    # Pallas ones) — while at bf16 the Pallas route is 28% faster (232.6 vs
+    # 298.5 ms at bs=16) and dodges the lane-padded tap temps.  Auto-pick by
+    # source dtype unless PALLAS_BEV_CROPS forces a route.
+    bev_auto = bev.dtype != jnp.float32
+    bev_pallas = use_pallas_crop and (
+        bev_auto if PALLAS_BEV_CROPS is None else PALLAS_BEV_CROPS
+    )
     crop_other_feat = multi_crop(features, cfg.pixels_per_meter / 2,
                                  cfg.crop_size, use_pallas_crop)
     crop_other_bev = multi_crop(bev, cfg.pixels_per_meter,

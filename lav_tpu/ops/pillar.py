@@ -163,8 +163,8 @@ def _fused_decoration_layer(p0, points, pid, keep, ix, iy, *, min_x: float,
     QUIRK preserved: cell centers read CROSSED columns — cx from iy + min_x,
     cy from ix + min_y (reference point_pillar.py:57-58).
 
-    points (N, D) already painted; returns (h (N, F), acc) where acc is the
-    (num_segments, 128) mean-scatter accumulator [sum_xyz, count, 0...].
+    points (N, D) already painted; returns h (N, F), the first-layer
+    pre-BN activations.
     """
     D = points.shape[-1]
     dt = points.dtype

@@ -54,26 +54,49 @@ def make_hybrid_mesh(n_slices: Optional[int] = None,
     devs = jax.devices()
     n = n_devices or len(devs)
     devs = devs[:n]
-    slice_ids = {getattr(d, "slice_index", 0) for d in devs}
-    if len(slice_ids) > 1:
-        per = {}
-        for d in devs:
-            per.setdefault(d.slice_index, []).append(d)
+    per = {}
+    for d in devs:
+        per.setdefault(getattr(d, "slice_index", 0), []).append(d)
+    if len(per) > 1:
+        if n_slices is not None and n_slices != len(per):
+            raise ValueError(
+                f"requested {n_slices} DCN slices but the {n} visible "
+                f"devices span {len(per)} hardware slices "
+                f"{sorted(per)} — the dcn axis must follow the real "
+                f"slice topology"
+            )
         counts = {len(v) for v in per.values()}
-        assert len(counts) == 1, f"uneven slices: { {k: len(v) for k, v in per.items()} }"
+        if len(counts) != 1:
+            raise ValueError(
+                "uneven devices per slice "
+                f"{ {k: len(v) for k, v in per.items()} } — pass an "
+                "n_devices that keeps whole slices"
+            )
         grid = [per[s] for s in sorted(per)]
         return Mesh(np.asarray(grid), axes)
     s = n_slices or 1
-    assert n % s == 0, (n, s)
+    if n % s:
+        raise ValueError(f"{n} devices do not factor into {s} slices")
     return Mesh(np.asarray(devs).reshape(s, n // s), axes)
 
 
 def batch_sharding(mesh: Mesh, axis=None):
-    """Shard the leading (batch) dim over the given mesh axis (or ALL mesh
-    axes by default — correct for both the 1-D data mesh and the hybrid
-    ("dcn", "data") mesh), replicate the rest."""
+    """Shard the leading (batch) dim, replicate the rest.
+
+    Default axis: "data" for a 1-D mesh; ("dcn", "data") jointly for the
+    hybrid mesh.  Any OTHER multi-axis mesh (e.g. a future ("data",
+    "model") tensor mesh) must pass the batch axis explicitly — sharding
+    the batch over a model axis silently would be wrong."""
     if axis is None:
-        axis = mesh.axis_names if len(mesh.axis_names) > 1 else mesh.axis_names[0]
+        names = mesh.axis_names
+        if names == ("dcn", "data"):
+            axis = names
+        elif len(names) == 1:
+            axis = names[0]
+        else:
+            raise ValueError(
+                f"mesh has axes {names}; pass the batch axis explicitly"
+            )
     return NamedSharding(mesh, P(axis))
 
 

@@ -116,3 +116,18 @@ def test_pallas_teacher_shape_route(rng):
     g_ref = jax.grad(loss_ref)(imgs)
     np.testing.assert_allclose(np.asarray(g_pal), np.asarray(g_ref),
                                atol=5e-5, rtol=1e-4)
+
+
+def test_pallas_vmap_shared_source(rng):
+    """vmap over grids with ONE shared source folds into the crop axis
+    (no per-batch source copies) and matches the XLA path."""
+    nrng = np.random.default_rng(9)
+    B, K, H, C, crop = 4, 2, 32, 16, 16
+    img = jnp.asarray(nrng.normal(size=(H, H, C)), jnp.float32)
+    grids = jnp.stack(
+        [_random_grids(nrng, K, H, H, crop) for _ in range(B)]
+    )
+    ref = jax.vmap(lambda g: grid_sample_shared(img, g))(grids)
+    out = jax.vmap(lambda g: grid_sample_shared_pallas(img, g, True))(grids)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
+                               atol=1e-5, rtol=1e-5)
