@@ -80,6 +80,49 @@ def _head(p, x, train):
     return out, {"bn": st}
 
 
+# run the four detection heads as ONE conv + bn + block-diagonal convT —
+# identical math per head (channels are independent through conv/BN/relu;
+# the merged convT weight is zero off-block), one kernel launch and ONE
+# lane-padded full-resolution output write instead of four (each head's
+# 2-3 channel convT output pads to 128 lanes on TPU)
+MERGED_HEADS = True
+
+
+def _merged_heads(head_params, x, train):
+    """head_params: list of _head param dicts (same hidden width / convT
+    geometry).  Returns (list of per-head outputs, list of per-head bn
+    states) — exactly what running each _head separately yields."""
+    hid = head_params[0]["conv"]["w"].shape[-1]
+    couts = [p["up"]["w"].shape[-1] for p in head_params]
+    n = len(head_params)
+
+    conv_w = jnp.concatenate([p["conv"]["w"] for p in head_params], axis=-1)
+    out = L.conv2d({"w": conv_w}, x, stride=1, padding=1)
+    out = jax.nn.relu(out)
+    bn = {k: jnp.concatenate([p["bn"][k] for p in head_params])
+          for k in head_params[0]["bn"]}
+    out, st = L.batchnorm(bn, out, train, **_BN_CFG)
+    states = [{"bn": {k: v[i * hid:(i + 1) * hid] for k, v in st.items()}}
+              for i in range(n)]
+
+    kh, kw = head_params[0]["up"]["w"].shape[:2]
+    up_w = jnp.zeros((kh, kw, n * hid, sum(couts)),
+                     head_params[0]["up"]["w"].dtype)
+    off = 0
+    for i, p in enumerate(head_params):
+        up_w = up_w.at[:, :, i * hid:(i + 1) * hid,
+                       off:off + couts[i]].set(p["up"]["w"])
+        off += couts[i]
+    up_b = jnp.concatenate([p["up"]["b"] for p in head_params])
+    out = L.conv_transpose2d({"w": up_w, "b": up_b}, out, stride=2,
+                             padding=1, output_padding=1)
+    outs, off = [], 0
+    for c in couts:
+        outs.append(out[..., off:off + c])
+        off += c
+    return outs, states
+
+
 # stage schedule: (n_convs, channel multiplier) per reference lidar.py:57-112
 _STAGES = ((4, 1), (6, 2), (6, 2))
 
@@ -159,10 +202,16 @@ def lidar_model_apply(
         train=train, use_pallas=use_pallas,
     )
     features, st_bb = backbone_apply(p["backbone"], canvas, train)
-    hm, st_c = _head(p["center_head"], features, train)
-    box, st_b = _head(p["box_head"], features, train)
-    ori, st_o = _head(p["ori_head"], features, train)
-    seg, st_s = _head(p["seg_head"], features, train)
+    if MERGED_HEADS:
+        (hm, box, ori, seg), (st_c, st_b, st_o, st_s) = _merged_heads(
+            [p["center_head"], p["box_head"], p["ori_head"], p["seg_head"]],
+            features, train,
+        )
+    else:
+        hm, st_c = _head(p["center_head"], features, train)
+        box, st_b = _head(p["box_head"], features, train)
+        ori, st_o = _head(p["ori_head"], features, train)
+        seg, st_s = _head(p["seg_head"], features, train)
     # final sigmoid in f32: bf16 sigmoid saturates to exactly 1.0 near
     # logit~6, and the BCE backward 1/(1-p) through it is then non-finite
     seg = jax.nn.sigmoid(seg.astype(jnp.float32))

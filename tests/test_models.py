@@ -170,3 +170,68 @@ def test_uniplanner_infer_merged_crop_path(rng):
     for x, y in zip(a, b):
         np.testing.assert_allclose(np.asarray(x), np.asarray(y),
                                    atol=1e-5, rtol=1e-5)
+
+
+def test_merged_heads_match_separate(rng):
+    """The fused four-head path (one conv + bn + block-diagonal convT) must
+    equal running each head separately — values, BN states, and parameter
+    gradients, train and eval."""
+    import lav_tpu.models.lidar as LM
+    import numpy as np
+
+    cfg = tiny_config()
+    params = lidar_model_init(jax.random.key(2), cfg.num_input,
+                              cfg.num_features)
+    nrng = np.random.default_rng(13)
+    B, P = 2, 256
+    pts = jnp.asarray(
+        nrng.uniform(-6, 6, (B, P, cfg.num_input - 5)).astype(np.float32))
+    valid = jnp.asarray(nrng.uniform(size=(B, P)) > 0.3)
+    kw = dict(min_x=cfg.min_x, max_x=cfg.max_x, min_y=cfg.min_y,
+              max_y=cfg.max_y, pixels_per_meter=cfg.pixels_per_meter,
+              num_features=cfg.num_features)
+
+    def run(merged, train):
+        old = LM.MERGED_HEADS
+        LM.MERGED_HEADS = merged
+        try:
+            return lidar_model_apply(params, pts, valid, train=train, **kw)
+        finally:
+            LM.MERGED_HEADS = old
+
+    for train in (False, True):
+        a = run(False, train)
+        b = run(True, train)
+        for x, y in zip(a[:5], b[:5]):
+            np.testing.assert_allclose(np.asarray(x), np.asarray(y),
+                                       atol=2e-5, rtol=1e-5)
+        sa = jax.tree.leaves(a[5])
+        sb = jax.tree.leaves(b[5])
+        for x, y in zip(sa, sb):
+            np.testing.assert_allclose(np.asarray(x), np.asarray(y),
+                                       atol=2e-5, rtol=1e-5)
+
+    def loss(p, merged):
+        old = LM.MERGED_HEADS
+        LM.MERGED_HEADS = merged
+        try:
+            feats, hm, box, ori, seg, _ = lidar_model_apply(
+                p, pts, valid, train=True, **kw)
+        finally:
+            LM.MERGED_HEADS = old
+        return (jnp.sum(hm ** 2) + jnp.sum(box ** 2) + jnp.sum(ori ** 2)
+                + jnp.sum(seg) + jnp.sum(feats ** 2))
+
+    g0 = jax.grad(lambda p: loss(p, False))(params)
+    g1 = jax.grad(lambda p: loss(p, True))(params)
+
+    # summation order differs through the merged convT (measured rel
+    # ~1e-6), and biases feeding straight into BN have ANALYTICALLY ZERO
+    # gradients (shift invariance) where both paths produce only noise —
+    # so compare against the global gradient scale, not per-leaf
+    gscale = max(float(jnp.max(jnp.abs(l))) for l in jax.tree.leaves(g0))
+    jax.tree.map(
+        lambda x, y: np.testing.assert_allclose(
+            np.asarray(x) / gscale, np.asarray(y) / gscale, atol=1e-5),
+        g0, g1,
+    )
