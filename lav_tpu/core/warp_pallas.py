@@ -298,12 +298,22 @@ def grid_sample_shared_pallas(img, grid, interpret: bool = False):
     `supports(...)` — use `crop_feature_shared(..., use_pallas=True)`."""
     H, W, C = img.shape
     K, Ho, Wo, _ = grid.shape
-    # derive the worst-case step from the grid extents is not possible
-    # statically here; callers guarantee the supports() bound.  GS=16 is
-    # safe whenever the crop covers <= ~0.61 px/px; infer from the grid
-    # shape ratio the caller used (crop_feature_shared passes it via
-    # supports) — conservatively pick from the output/source ratio.
+    # The per-group tile bound cannot be derived from a TRACED grid, so this
+    # entry point supports ONLY `_crop_theta`-derived grids, whose sampling
+    # step equals the output/source shape ratio (what crop_feature_shared
+    # passes).  A direct caller with a larger true step would silently read
+    # zeros for taps outside the fixed tile — so enforce the same static
+    # eligibility check the routing layer uses instead of trusting callers.
     step = (Ho / H) * (H - 1) / max(Ho - 1, 1)
+    if not supports((H, W, C), (Ho, Wo), step,
+                    jnp.dtype(img.dtype).itemsize):
+        raise ValueError(
+            f"grid_sample_shared_pallas: shape combo img={img.shape} "
+            f"out=({Ho},{Wo}) step={step:.3f} fails supports(); only "
+            "_crop_theta-derived grids routed via crop_feature_shared("
+            "use_pallas=True) are eligible — use grid_sample_shared for "
+            "arbitrary grids"
+        )
     gs = _pick_gs(step) or 8
     if Ho % gs or Wo % gs:
         gs = 8

@@ -30,15 +30,16 @@ def _conv_block_init(key, cin, cout):
             "bn": L.batchnorm_init(cout)}
 
 
-def _conv_block(p, x, stride, train):
+def _conv_block(p, x, stride, train, entry=False):
     w = p["conv"]["w"]
-    if x.shape[-1] == 128 and w.shape[2] < 128:
+    if entry and x.shape[-1] == 128 and w.shape[2] < 128:
         # lane-padded canvas (ops/pillar.py PAD_CANVAS_LANES pads to
         # exactly 128): zero-pad the input-channel dim of the kernel —
         # identical math, and the conv consumes the scatter's (..., 128)
-        # layout without a retile pass.  The ==128 guard keeps genuine
-        # channel mismatches loud (conv shape error) instead of silently
-        # zeroing real features.
+        # layout without a retile pass.  Only the backbone ENTRY block may
+        # do this (its input is the pillar canvas); any other block seeing
+        # a channel mismatch is a genuine bug and must fail the conv shape
+        # check loudly rather than silently zero-pad real features.
         p = dict(p, conv=dict(
             p["conv"],
             w=jnp.pad(w, ((0, 0), (0, 0), (0, 128 - w.shape[2]), (0, 0))),
@@ -152,7 +153,8 @@ def backbone_apply(p, x, train: bool):
         for b in range(n_convs):
             name = f"conv{s + 1}_{b}"
             stride = 2 if b == 0 else 1
-            out, state[name] = _conv_block(p[name], out, stride, train)
+            out, state[name] = _conv_block(p[name], out, stride, train,
+                                           entry=(s == 0 and b == 0))
         stage_outs.append(out)
 
     u1, state["upconv1"] = _upconv_block(p["upconv1"], stage_outs[0], 1, 0, 0, train)

@@ -28,16 +28,16 @@ from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
 
 def make_mesh(n_devices: Optional[int] = None, axes: Sequence[str] = ("data",)):
-    """1-D (default) or n-D mesh over the available devices."""
+    """1-D mesh over the available devices (use `make_hybrid_mesh` for the
+    2-D cross-slice case; no other multi-axis layout has a consumer)."""
+    if len(axes) != 1:
+        raise ValueError(
+            f"make_mesh builds 1-D meshes only (got axes={tuple(axes)}); "
+            "use make_hybrid_mesh for the ('dcn', 'data') layout"
+        )
     devs = jax.devices()
     n = n_devices or len(devs)
-    devs = devs[:n]
-    if len(axes) == 1:
-        shape = (n,)
-    else:
-        # fill trailing axes with 1 unless divisible layout is requested
-        shape = (n,) + (1,) * (len(axes) - 1)
-    return Mesh(np.asarray(devs).reshape(shape), axes)
+    return Mesh(np.asarray(devs[:n]), axes)
 
 
 def make_hybrid_mesh(n_slices: Optional[int] = None,

@@ -41,21 +41,21 @@ def run(E, K, H, W, C, crop, dtype, label):
         print(f"{label} XLA failed: {str(e)[:150]}")
         t_x = float("nan")
 
-    for cb in (128,):
-        if C % cb:
-            cb = C
-        pal = jax.jit(jax.vmap(
-            lambda i, g: wp._grid_sample_pallas_impl(i, g, cb, False)))
-        try:
-            t_p = timeit(pal, imgs, grids)
-            # correctness on one ego
-            ref = np.asarray(xla(imgs, grids)[0], np.float32)
-            out = np.asarray(pal(imgs, grids)[0], np.float32)
-            err = np.max(np.abs(out - ref)) / (np.abs(ref).max() + 1e-9)
-            print(f"{label} cb={cb}: XLA {t_x*1e3:.2f} ms, pallas {t_p*1e3:.2f} ms "
-                  f"(x{t_x/t_p:.1f}), rel_err {err:.2e}", flush=True)
-        except Exception as e:
-            print(f"{label} cb={cb}: pallas FAILED: {str(e)[:300]}", flush=True)
+    # route through the public entry point (it picks cb/gs and enforces
+    # supports()); a shape combo the kernel rejects raises loudly here
+    # rather than being silently swallowed as a timing failure
+    pal = jax.jit(jax.vmap(lambda i, g: wp.grid_sample_shared_pallas(i, g)))
+    try:
+        t_p = timeit(pal, imgs, grids)
+    except ValueError as e:  # supports() rejection only
+        print(f"{label}: pallas ineligible: {str(e)[:200]}", flush=True)
+        return
+    # correctness on one ego
+    ref = np.asarray(xla(imgs, grids)[0], np.float32)
+    out = np.asarray(pal(imgs, grids)[0], np.float32)
+    err = np.max(np.abs(out - ref)) / (np.abs(ref).max() + 1e-9)
+    print(f"{label}: XLA {t_x*1e3:.2f} ms, pallas {t_p*1e3:.2f} ms "
+          f"(x{t_x/t_p:.1f}), rel_err {err:.2e}", flush=True)
 
 
 def main():
