@@ -211,7 +211,10 @@ def v2_config(**overrides) -> LAVConfig:
         cast_weights=[1, 1, 1, 1, 5, 5],
         num_features=[64, 64],
         aim_point=[4, 4, 4, 3, 6, 6],
-        speed_ratio=[0.8, 0.8, 0.8, 1.0, 0.6, 0.6],
+        # deployed v2 controller gains (team_code_v2/config.yaml:65-79);
+        # round-3 control-trace oracle caught the earlier wrong values
+        speed_ratio=[0.8, 0.8, 0.8, 0.6, 0.8, 0.8],
+        turn_KP=0.8,
         brake_net_thresh=0.1,
         collide_dist_static=1.0,
         collide_dist_moving=2.5,

@@ -111,9 +111,12 @@ def main():
     # ---- Pallas kernel -------------------------------------------------
     from lav_tpu.ops import pillar_pallas2 as pp2
 
-    for op, fset in (("max", feats), ("add", feats4)):
+    for op, fset, nc in (("max", feats, 1), ("max", feats, 2),
+                         ("max", feats, 4), ("add", feats4, 1),
+                         ("add", feats4, 2)):
         f = jax.jit(jax.vmap(functools.partial(
-            pp2.scatter_pallas, op=op, num_segments=S, slab=args.slab)))
+            pp2.scatter_pallas, op=op, num_segments=S, slab=args.slab,
+            n_copies=nc)))
         try:
             # correctness vs XLA oracle on ego 0 first
             got = np.asarray(f(fset[0], pids[0])[0], np.float32)
@@ -126,7 +129,7 @@ def main():
                     jnp.pad(fset[0][0], ((0, 0), (0, 124))))
             err = float(np.max(np.abs(got - np.asarray(ref, np.float32))))
             t = device_ms(f, list(zip(fset, pids)), args.iters,
-                          f"PAL {op} slab={args.slab}")
+                          f"PAL {op} slab={args.slab} nc={nc}")
             print(f"    -> {t / rows * 1e6:.2f} ns/row  maxerr={err:.2e}",
                   flush=True)
         except Exception as e:
