@@ -60,3 +60,59 @@ def route_to_global_plan(route: Dict, cmd: int = LANEFOLLOW):
         lat, lon = world_to_gps(x, y)
         plan.append(({"lat": lat, "lon": lon}, cmd))
     return plan
+
+
+LEFT, RIGHT, STRAIGHT = 1, 2, 3
+
+
+def interpolate_route(route: Dict, spacing: float = 5.0,
+                      turn_deg: float = 25.0, lookahead: float = 15.0):
+    """Densify a sparse route polyline at `spacing` meters and derive
+    per-point RoadOption commands from the geometry.
+
+    The live leaderboard densifies routes with the CARLA map's road
+    topology (interpolate_trajectory) and labels junction arcs with
+    LEFT/RIGHT/STRAIGHT; without the map, the same labels are derived
+    geometrically: heading change over the next `lookahead` meters beyond
+    `turn_deg` marks a turn (signed -> LEFT/RIGHT), anything else is
+    LANEFOLLOW.  Returns (dense_xy (N, 2), headings (N,), cmds (N,)).
+    """
+    wp = np.asarray(route["waypoints"])[:, :2]
+    segs = np.diff(wp, axis=0)
+    seg_len = np.linalg.norm(segs, axis=1)
+    keep = seg_len > 1e-6
+    segs, seg_len, starts = segs[keep], seg_len[keep], wp[:-1][keep]
+
+    dense = []
+    for s0, seg, ln in zip(starts, segs, seg_len):
+        n = max(1, int(ln // spacing))
+        for i in range(n):
+            dense.append(s0 + seg * (i / n))
+    dense.append(wp[-1])
+    dense = np.asarray(dense)
+
+    d = np.diff(dense, axis=0)
+    headings = np.arctan2(d[:, 1], d[:, 0])
+    headings = np.append(headings, headings[-1])
+
+    n_ahead = max(1, int(lookahead // spacing))
+    cmds = np.full(len(dense), LANEFOLLOW, np.int32)
+    for i in range(len(dense) - 1):
+        j = min(i + n_ahead, len(dense) - 1)
+        dh = headings[j] - headings[i]
+        dh = (dh + math.pi) % (2 * math.pi) - math.pi
+        if abs(dh) > math.radians(turn_deg):
+            cmds[i] = LEFT if dh > 0 else RIGHT
+    return dense, headings, cmds
+
+
+def dense_route_plan(route: Dict, spacing: float = 5.0):
+    """-> (global_plan [(gnss, cmd)], dense_xy, headings) — the
+    leaderboard-format plan for Waypointer/RoutePlanner over the densified
+    route with geometrically derived commands."""
+    dense, headings, cmds = interpolate_route(route, spacing)
+    plan = []
+    for (x, y), cmd in zip(dense, cmds):
+        lat, lon = world_to_gps(x, y)
+        plan.append(({"lat": lat, "lon": lon}, int(cmd)))
+    return plan, dense, headings
