@@ -31,7 +31,9 @@ def _conv_block_init(key, cin, cout):
 
 
 def _conv_block(p, x, stride, train, entry=False):
-    w = p["conv"]["w"]
+    # non-entry blocks may carry int8-quantized weights (nn/quant.py) with
+    # no raw "w"; only the entry block (never quantized) reads it
+    w = p["conv"]["w"] if entry else None
     if entry and x.shape[-1] == 128 and w.shape[2] < 128:
         # lane-padded canvas (ops/pillar.py PAD_CANVAS_LANES pads to
         # exactly 128): zero-pad the input-channel dim of the kernel —

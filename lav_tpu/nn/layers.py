@@ -75,13 +75,20 @@ def conv2d_init(key, cin: int, cout: int, ksize, bias: bool = True):
 
 
 def conv2d(p, x, stride=1, padding=0, dilation=1):
-    """torch.nn.Conv2d semantics: integer/tuple zero padding."""
+    """torch.nn.Conv2d semantics: integer/tuple zero padding.
+
+    Dispatches to the int8 MXU path when the params were rewritten by
+    lav_tpu.nn.quant.quantize_tree (presence of 'w_int8')."""
     strides = (stride, stride) if isinstance(stride, int) else stride
     if isinstance(padding, int):
         padding = ((padding, padding), (padding, padding))
     elif isinstance(padding, tuple) and isinstance(padding[0], int):
         padding = ((padding[0], padding[0]), (padding[1], padding[1]))
     dil = (dilation, dilation) if isinstance(dilation, int) else dilation
+    if "w_int8" in p:
+        from lav_tpu.nn.quant import conv2d_int8
+
+        return conv2d_int8(p, x, strides, padding, dil)
     y = jax.lax.conv_general_dilated(
         x,
         p["w"].astype(x.dtype),
@@ -121,16 +128,24 @@ def conv_transpose2d(p, x, stride=1, padding=0, output_padding=0):
         if isinstance(output_padding, int)
         else output_padding
     )
-    kh, kw = p["w"].shape[0], p["w"].shape[1]
+    wkey = "w_int8" if "w_int8" in p else "w"
+    kh, kw = p[wkey].shape[0], p[wkey].shape[1]
+    conv_pad = (
+        (kh - 1 - pad[0], kh - 1 - pad[0] + op[0]),
+        (kw - 1 - pad[1], kw - 1 - pad[1] + op[1]),
+    )
+    if wkey == "w_int8":
+        # int8 path (lav_tpu.nn.quant.quantize_tree): same input-dilated
+        # conv with the flipped int8 kernel, int32 MXU accumulation
+        from lav_tpu.nn.quant import conv_transpose2d_int8
+
+        return conv_transpose2d_int8(p, x, conv_pad, s)
     w = jnp.flip(p["w"], axis=(0, 1)).astype(x.dtype)
     y = jax.lax.conv_general_dilated(
         x,
         w,
         window_strides=(1, 1),
-        padding=(
-            (kh - 1 - pad[0], kh - 1 - pad[0] + op[0]),
-            (kw - 1 - pad[1], kw - 1 - pad[1] + op[1]),
-        ),
+        padding=conv_pad,
         lhs_dilation=s,
         dimension_numbers=("NHWC", "HWIO", "NHWC"),
     )

@@ -111,10 +111,96 @@ def _kernel(pid_ref, feat_ref, out_hbm, canvas, exp, sem, *, slab: int,
             out_hbm[...] = canvas[0][None]
 
 
+def _kernel_stream(pid_ref, feat_ref, out_hbm, canvas, state, sem, *,
+                   slab: int, n_chunks: int, op: str, sub_tile: int,
+                   dma_flush: bool):
+    """Streaming register-accumulator variant: the current canvas block's
+    partial reduction rides in a fori-carried (sub_tile, 128) value (vector
+    registers), and VMEM is only touched on block CHANGES — a
+    read-modify-write flush of the block being left.  On azimuth-coherent
+    lidar streams consecutive points overwhelmingly share a block, so the
+    per-point cost collapses to a handful of register ops; on adversarial
+    orderings every point flushes and the cost degrades to the plain
+    per-point RMW kernel's.  Correctness is order-independent (max/add are
+    commutative+associative; each flush COMBINES into the canvas).
+
+    Block n_blk (one past the real canvas) is a trash block: `cur`
+    initializes to it, so the first real point's flush lands harmlessly.
+    """
+    b = pl.program_id(0)
+    step = pl.program_id(1)
+
+    @pl.when(step == 0)
+    def _init():
+        canvas[...] = jnp.zeros(canvas.shape, canvas.dtype)
+        state[0] = canvas.shape[0] - 1  # cur = trash block
+
+    sub_iota = jax.lax.broadcasted_iota(jnp.int32, (sub_tile, 128), 0)
+    R = GROUP * sub_tile
+    E = (jax.lax.broadcasted_iota(jnp.int32, (R, GROUP), 0) // sub_tile
+         == jax.lax.broadcasted_iota(jnp.int32, (R, GROUP), 1)
+         ).astype(feat_ref.dtype)
+    combine = jnp.maximum if op == "max" else jnp.add
+    shift = sub_tile.bit_length() - 1
+
+    # re-seed the carried accumulator from the canvas content of `cur`
+    # (the carry was parked there at the end of the previous chunk) and
+    # CLEAR that block so nothing is counted twice when acc flushes back
+    cur0 = state[0]
+    acc0 = canvas[cur0]
+    canvas[pl.ds(cur0, 1)] = jnp.zeros((1,) + canvas.shape[1:], canvas.dtype)
+
+    def body(g, carry):
+        acc, cur = carry
+        base = g * GROUP
+        grp = feat_ref[0, 0, pl.ds(g, 1)][0]       # (GROUP, 128)
+        exp_v = jax.lax.dot_general(
+            E, grp, (((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        ).astype(canvas.dtype)
+        for j in range(GROUP):
+            i = base + j
+            p = pid_ref[0, 0, i // 128, i % 128]
+            blk = p >> shift
+            sub = p & (sub_tile - 1)
+            same = blk == cur
+
+            @pl.when(jnp.logical_not(same))
+            def _flush(acc=acc, cur=cur):
+                cb = canvas[pl.ds(cur, 1)]
+                canvas[pl.ds(cur, 1)] = combine(cb, acc[None])
+
+            acc = jnp.where(same, acc, jnp.zeros_like(acc))
+            bcast = exp_v[j * sub_tile:(j + 1) * sub_tile]
+            acc = jnp.where(sub_iota == sub, combine(acc, bcast), acc)
+            cur = blk
+        return acc, cur
+
+    acc, cur = jax.lax.fori_loop(0, slab // GROUP, body, (acc0, cur0),
+                                 unroll=1)
+    # park the carry: flush acc into its block, remember cur for re-seed
+    cb = canvas[pl.ds(cur, 1)]
+    canvas[pl.ds(cur, 1)] = combine(cb, acc[None])
+    state[0] = cur
+
+    @pl.when(step == n_chunks - 1)
+    def _out():
+        # the trash block rides along in the output (sliced off by the
+        # caller) — a whole-scratch DMA avoids sliced-ref copy rules
+        if dma_flush:
+            dst = out_hbm.at[b]
+            copy = pltpu.make_async_copy(canvas, dst, sem)
+            copy.start()
+            copy.wait()
+        else:
+            out_hbm[...] = canvas[...][None]
+
+
 def _call(featb, pidb, *, num_segments: int, op: str, slab: int,
-          n_copies: int, interpret: bool):
+          n_copies: int, mode: str, interpret: bool):
     """featb (B, P, 128) payload-in-low-lanes, pidb (B, P) int32 with
-    invalid points at the dump slot -> (B, n_blk*SUBT, 128)."""
+    invalid points at the dump slot -> (B, n_out, SUBT, 128) canvas blocks
+    (mode="stream" appends one trash block, sliced off by the wrapper)."""
     B, P, W = featb.shape
     assert W == 128, "feature rows must be padded to 128 lanes"
     assert slab % GROUP == 0 and slab % 128 == 0
@@ -129,22 +215,40 @@ def _call(featb, pidb, *, num_segments: int, op: str, slab: int,
     P_pad = P + pad
     n_chunks = P_pad // slab
     n_blk = (num_segments + sub_tile - 1) // sub_tile
+    n_out = n_blk + (1 if mode == "stream" else 0)
 
     pid_tiles = pidb.astype(jnp.int32).reshape(B, n_chunks, slab // 128, 128)
     feat_tiles = featb.astype(cdtype if op == "add" else featb.dtype).reshape(
         B, n_chunks, slab // GROUP, GROUP, 128)
 
     if interpret:
-        out_spec = pl.BlockSpec((1, n_blk, sub_tile, 128),
+        out_spec = pl.BlockSpec((1, n_out, sub_tile, 128),
                                 lambda b, c: (b, 0, 0, 0),
                                 memory_space=pltpu.VMEM)
     else:
         out_spec = pl.BlockSpec(memory_space=pltpu.ANY)
 
+    if mode == "stream":
+        kern = functools.partial(
+            _kernel_stream, slab=slab, n_chunks=n_chunks, op=op,
+            sub_tile=sub_tile, dma_flush=not interpret)
+        scratch = [
+            pltpu.VMEM((n_out, sub_tile, 128), cdtype),
+            pltpu.SMEM((1,), jnp.int32),
+            pltpu.SemaphoreType.DMA,
+        ]
+    else:
+        kern = functools.partial(
+            _kernel, slab=slab, n_chunks=n_chunks, op=op,
+            sub_tile=sub_tile, n_copies=n_copies, dma_flush=not interpret)
+        scratch = [
+            pltpu.VMEM((n_copies, n_blk, sub_tile, 128), cdtype),
+            pltpu.VMEM((GROUP * sub_tile, 128), cdtype),
+            pltpu.SemaphoreType.DMA,
+        ]
+
     return pl.pallas_call(
-        functools.partial(_kernel, slab=slab, n_chunks=n_chunks, op=op,
-                          sub_tile=sub_tile, n_copies=n_copies,
-                          dma_flush=not interpret),
+        kern,
         grid=(B, n_chunks),
         in_specs=[
             pl.BlockSpec((1, 1, slab // 128, 128), lambda b, c: (b, c, 0, 0),
@@ -154,12 +258,8 @@ def _call(featb, pidb, *, num_segments: int, op: str, slab: int,
                          memory_space=pltpu.VMEM),
         ],
         out_specs=out_spec,
-        out_shape=jax.ShapeDtypeStruct((B, n_blk, sub_tile, 128), cdtype),
-        scratch_shapes=[
-            pltpu.VMEM((n_copies, n_blk, sub_tile, 128), cdtype),
-            pltpu.VMEM((GROUP * sub_tile, 128), cdtype),
-            pltpu.SemaphoreType.DMA,
-        ],
+        out_shape=jax.ShapeDtypeStruct((B, n_out, sub_tile, 128), cdtype),
+        scratch_shapes=scratch,
         compiler_params=pltpu.CompilerParams(
             has_side_effects=True,
             vmem_limit_bytes=120 * 2 ** 20,
@@ -170,11 +270,12 @@ def _call(featb, pidb, *, num_segments: int, op: str, slab: int,
 
 @functools.lru_cache(maxsize=None)
 def _make(num_segments: int, op: str, slab: int, n_copies: int,
-          interpret: bool):
+          mode: str, interpret: bool):
     @jax.custom_batching.custom_vmap
     def scatter(feat, pid):
         out = _call(feat[None], pid[None], num_segments=num_segments,
-                    op=op, slab=slab, n_copies=n_copies, interpret=interpret)
+                    op=op, slab=slab, n_copies=n_copies, mode=mode,
+                    interpret=interpret)
         return out[0].reshape(-1, 128)[:num_segments]
 
     @scatter.def_vmap
@@ -185,7 +286,8 @@ def _make(num_segments: int, op: str, slab: int, n_copies: int,
         if not pid_b:
             pid = jnp.broadcast_to(pid, (axis_size,) + pid.shape)
         out = _call(feat, pid, num_segments=num_segments, op=op,
-                    slab=slab, n_copies=n_copies, interpret=interpret)
+                    slab=slab, n_copies=n_copies, mode=mode,
+                    interpret=interpret)
         B = out.shape[0]
         return out.reshape(B, -1, 128)[:, :num_segments], True
 
@@ -193,8 +295,8 @@ def _make(num_segments: int, op: str, slab: int, n_copies: int,
 
 
 def scatter_pallas(feat, pid, *, op: str, num_segments: int,
-                   slab: int = 4096, n_copies: int = 2,
-                   interpret: bool = False):
+                   slab: int = 4096, n_copies: int = 1,
+                   mode: str = "stream", interpret: bool = False):
     """feat (P, C<=128) — nonneg payload for op="max" (post-ReLU), zero
     rows for invalid points; pid (P,) int32 in [0, num_segments) with
     invalid points at the dump slot (num_segments-1 or any zero-payload
@@ -209,4 +311,4 @@ def scatter_pallas(feat, pid, *, op: str, num_segments: int,
         feat = jnp.pad(feat, ((0, 0), (0, 128 - C)))
     if op == "add":
         feat = feat.astype(jnp.float32)
-    return _make(num_segments, op, slab, n_copies, interpret)(feat, pid)
+    return _make(num_segments, op, slab, n_copies, mode, interpret)(feat, pid)

@@ -111,29 +111,35 @@ def main():
     # ---- Pallas kernel -------------------------------------------------
     from lav_tpu.ops import pillar_pallas2 as pp2
 
-    for op, fset, nc in (("max", feats, 1), ("max", feats, 2),
-                         ("max", feats, 4), ("add", feats4, 1),
-                         ("add", feats4, 2)):
+    pids_u = [make_pids(P, B, rng, realistic=False) for _ in range(NVAR)]
+    variants = [
+        ("max", feats, pids, "stream", "coherent"),
+        ("add", feats4, pids, "stream", "coherent"),
+        ("max", feats, pids_u, "stream", "UNIFORM"),
+        ("add", feats4, pids_u, "stream", "UNIFORM"),
+        ("max", feats, pids, "rmw", "coherent"),
+        ("add", feats4, pids, "rmw", "coherent"),
+    ]
+    for op, fset, pset, mode, tag in variants:
         f = jax.jit(jax.vmap(functools.partial(
             pp2.scatter_pallas, op=op, num_segments=S, slab=args.slab,
-            n_copies=nc)))
+            mode=mode)))
         try:
             # correctness vs XLA oracle on ego 0 first
-            got = np.asarray(f(fset[0], pids[0])[0], np.float32)
-            C = fset[0].shape[-1]
+            got = np.asarray(f(fset[0], pset[0])[0], np.float32)
             if op == "max":
-                ref = jnp.zeros((S, 128), jnp.float32).at[pids[0][0]].max(
+                ref = jnp.zeros((S, 128), jnp.float32).at[pset[0][0]].max(
                     fset[0][0].astype(jnp.float32))
             else:
-                ref = jnp.zeros((S, 128), jnp.float32).at[pids[0][0]].add(
+                ref = jnp.zeros((S, 128), jnp.float32).at[pset[0][0]].add(
                     jnp.pad(fset[0][0], ((0, 0), (0, 124))))
             err = float(np.max(np.abs(got - np.asarray(ref, np.float32))))
-            t = device_ms(f, list(zip(fset, pids)), args.iters,
-                          f"PAL {op} slab={args.slab} nc={nc}")
+            t = device_ms(f, list(zip(fset, pset)), args.iters,
+                          f"PAL {op} {mode} {tag}")
             print(f"    -> {t / rows * 1e6:.2f} ns/row  maxerr={err:.2e}",
                   flush=True)
         except Exception as e:
-            print(f"PAL {op} FAILED: {str(e)[:500]}", flush=True)
+            print(f"PAL {op} {mode} {tag} FAILED: {str(e)[:500]}", flush=True)
 
 
 if __name__ == "__main__":
