@@ -34,8 +34,10 @@ def main():
 
     dtype = None if os.environ.get("BENCH_F32") else jnp.bfloat16
     use_pallas = bool(os.environ.get("BENCH_PALLAS"))
+    quant = bool(os.environ.get("BENCH_INT8"))
     step, params, state0, obs0 = _v2_agent_setup(
-        max_points=MAX_POINTS, compute_dtype=dtype, use_pallas=use_pallas
+        max_points=MAX_POINTS, compute_dtype=dtype, use_pallas=use_pallas,
+        quant_int8=quant,
     )
 
     # batch the whole agent over an ego axis

@@ -30,13 +30,20 @@ import jax.numpy as jnp
 
 
 def quantize_conv(p: Dict[str, Any]) -> Dict[str, Any]:
-    """Conv/linear param dict {'w': HWIO or (I,O), 'b'?} -> int8 form."""
-    w = jnp.asarray(p["w"], jnp.float32)
+    """Conv/linear param dict {'w': HWIO or (I,O), 'b'?} -> int8 form.
+
+    Computed host-side in numpy: a device round-trip per tiny op through
+    the remote-TPU tunnel costs ~0.5 s each and made the jnp version of
+    this one-time transform take minutes (measured 134 s for the agent's
+    param tree)."""
+    import numpy as np
+
+    w = np.asarray(p["w"], np.float32)
     red = tuple(range(w.ndim - 1))          # all but the output channel
-    scale = jnp.max(jnp.abs(w), axis=red) / 127.0
-    scale = jnp.maximum(scale, 1e-12)
-    wq = jnp.clip(jnp.round(w / scale), -127, 127).astype(jnp.int8)
-    out = {"w_int8": wq, "w_scale": scale}
+    scale = np.abs(w).max(axis=red) / 127.0
+    scale = np.maximum(scale, 1e-12)
+    wq = np.clip(np.round(w / scale), -127, 127).astype(np.int8)
+    out = {"w_int8": jnp.asarray(wq), "w_scale": jnp.asarray(scale)}
     if "b" in p:
         out["b"] = p["b"]
     return out

@@ -1,11 +1,38 @@
 """Pallas TPU kernel, round 3: pillar scatter (max & add) vs the XLA wall.
 
-Round-2 measured the XLA pillar scatters ISSUE-bound at ~15.7 ns per
-128-lane update row (width/dtype-independent), making the two scatters
-24.7 ms of the 92 ms 16-ego tick; the round-2 Pallas attempt
-(ops/pillar_pallas.py) lost to XLA (~49 ns/row) because each point paid
-a masked read-modify-write over a full (16, 128) block PLUS a masked-sum
-row extraction over another (16, 128) block.
+VERDICT (round 3, measured on v5e at the agent's shapes — 16 egos x 49k
+points = 786k update rows into 102k segments, device-trace timing via
+scripts/exp_scatter.py): **XLA's scatter emitter is at the per-update
+issue floor for this op on this hardware.**  The full campaign:
+
+    variant                                         ns/row   exact?
+    ----------------------------------------------  ------   ------
+    XLA scatter-max (B,P,128)bf16 batch-folded       15.76    yes
+    XLA scatter-add (B,P,4->128)f32                  17.68    yes
+    r2 kernel: masked (16,128)-block RMW + row sum   ~49      yes
+    r3 "rmw": MXU row-broadcast + aligned block RMW  20-25    yes
+    r3 "rmw" n_copies=2 (anti-alias canvases)        same     yes
+    r3 "stream": fori-carried register accumulator,
+      VMEM touched only on block change              ~40      yes
+      (coherent vs uniform pid order: NO difference
+       -> Mosaic spills the carried (8,128) acc)
+    sorted reformulation: sort_key_val is cheap
+      (0.70 ms) but XLA row-GATHERS are issue-bound
+      too (10.7 ms for (786k,128)) — reordering the
+      payload costs more than the scatter saves      n/a      —
+
+Conclusion: every Mosaic form pays >=20 ns/point for the dynamic-address
+VMEM round trip + scalar address chain; XLA's emitter (which internally
+sorts, see the 0.69 ms sort in its trace) retires one update row per
+~15.7 ns regardless of width/dtype/sortedness/locality.  The only levers
+that remain are FEWER ROWS (point budget, utils/point_budget.py) and
+keeping the scatters off the critical path.  Kernels kept for the
+record + regression measurement; off by default.
+
+History: round-2 measured the XLA scatters at 24.7 ms of the 92 ms
+16-ego tick; the round-2 attempt (ops/pillar_pallas.py) lost at ~49
+ns/row because each point paid a masked read-modify-write over a full
+(16, 128) block PLUS a masked-sum row extraction over another block.
 
 This kernel restructures the per-point work to the minimum Mosaic can
 issue:
