@@ -85,11 +85,48 @@ def quantize_tree(tree, *, min_channels: int = 16):
     return walk(tree)
 
 
+# ---------------------------------------------------------------------------
+# activation scaling: dynamic per-tensor by default; after `calibrate`
+# runs the model EAGERLY (params dicts are plain mutable dicts outside
+# jit), each conv carries a static "x_scale" — the quantize then becomes
+# a pure elementwise cast that XLA fuses into the producing op, instead
+# of an unfusable amax-reduction barrier + extra activation pass
+# (measured: dynamic scales cost +12 ms/tick on the 16-ego agent, MORE
+# than the int8 convs save)
+# ---------------------------------------------------------------------------
+
+_CALIBRATING = False
+
+
+def calibrate(run_once, *args, **kwargs):
+    """Run `run_once` (an UNJITTED forward on representative inputs) with
+    observer mode on: every int8 conv records its input absmax into its
+    own param dict as a static x_scale (max over calls).  Returns the
+    forward's result."""
+    global _CALIBRATING
+    _CALIBRATING = True
+    try:
+        return run_once(*args, **kwargs)
+    finally:
+        _CALIBRATING = False
+
+
+def _x_scale(p, x):
+    if _CALIBRATING:
+        amax = float(jnp.max(jnp.abs(x.astype(jnp.float32))))
+        prev = float(p.get("x_scale", 0.0))
+        p["x_scale"] = jnp.float32(max(prev, max(amax, 1e-12) / 127.0))
+        return p["x_scale"]
+    if "x_scale" in p:
+        return p["x_scale"]
+    amax = jnp.max(jnp.abs(x.astype(jnp.float32)))
+    return jnp.maximum(amax / 127.0, 1e-12)
+
+
 def conv_transpose2d_int8(p, x, conv_pad, lhs_dil):
     """int8 input-dilated conv (the ConvTranspose lowering in layers.py)
     with int32 MXU accumulation."""
-    amax = jnp.max(jnp.abs(x.astype(jnp.float32)))
-    s_x = jnp.maximum(amax / 127.0, 1e-12)
+    s_x = _x_scale(p, x)
     xq = jnp.clip(jnp.round(x.astype(jnp.float32) / s_x),
                   -127, 127).astype(jnp.int8)
     y = jax.lax.conv_general_dilated(
@@ -106,10 +143,59 @@ def conv_transpose2d_int8(p, x, conv_pad, lhs_dil):
     return y.astype(x.dtype)
 
 
+def split_scales(tree):
+    """Split quantization scale leaves (w_scale / x_scale) out of a params
+    pytree into host numpy arrays keyed by path.  Passing them back via
+    `merge_scales` INSIDE a jitted wrapper turns them into compile-time
+    constants: they vanish from the per-call argument list (through this
+    environment's remote tunnel, +300 argument leaves measurably
+    throttled dispatch below the device rate) and fold into the conv
+    epilogues."""
+    import numpy as np
+
+    scales = {}
+
+    def walk(node, path):
+        if isinstance(node, dict):
+            out = {}
+            for k, v in node.items():
+                if k in ("w_scale", "x_scale"):
+                    scales[path + (k,)] = np.asarray(v)
+                else:
+                    out[k] = walk(v, path + (k,))
+            return out
+        if isinstance(node, (list, tuple)):
+            return type(node)(walk(v, path + (i,))
+                              for i, v in enumerate(node))
+        return node
+
+    return walk(tree, ()), scales
+
+
+def merge_scales(tree, scales):
+    """Reinsert split scales (call inside jit so they become constants)."""
+    def setpath(node, path, val):
+        for k in path[:-1]:
+            node = node[k]
+        node[path[-1]] = jnp.asarray(val)
+
+    out = _shallow_clone(tree)
+    for path, val in scales.items():
+        setpath(out, path, val)
+    return out
+
+
+def _shallow_clone(node):
+    if isinstance(node, dict):
+        return {k: _shallow_clone(v) for k, v in node.items()}
+    if isinstance(node, (list, tuple)):
+        return type(node)(_shallow_clone(v) for v in node)
+    return node
+
+
 def conv2d_int8(p, x, strides, padding, dil):
     """int8 x int8 -> int32 conv on the MXU, dequantized to x.dtype."""
-    amax = jnp.max(jnp.abs(x.astype(jnp.float32)))
-    s_x = jnp.maximum(amax / 127.0, 1e-12)
+    s_x = _x_scale(p, x)
     xq = jnp.clip(jnp.round(x.astype(jnp.float32) / s_x),
                   -127, 127).astype(jnp.int8)
     y = jax.lax.conv_general_dilated(

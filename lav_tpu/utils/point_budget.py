@@ -59,6 +59,13 @@ BEV_Y = (-40.0, 40.0)
 N_STACK = 3             # num_frame_stack + 1 (config_v2.yaml:38)
 V2_CAP = 120_000        # max_lidar_points (config_v2.yaml:36)
 
+# CARLA 0.9.10 ray_cast lidar default general dropoff rate: the sensor
+# randomly discards this fraction of returns (the 0.9.10 "LiDAR revamp"
+# added intensity + dropoff; the leaderboard pins only the geometry
+# attributes, so the dropoff default applies).  ASSUMPTION documented
+# here because the leaderboard submodule is not vendored to confirm.
+DROPOFF_GENERAL_RATE = 0.45
+
 
 def rays_per_fused_sweep() -> int:
     return POINTS_PER_SECOND // ROTATION_HZ  # one full rotation
@@ -111,12 +118,20 @@ def summary() -> dict:
     s = flat_world_sweep()
     lo = s["flat_world_in_bev_box"]
     cap = s["geometric_in_box_cap"]
+    keep = 1.0 - DROPOFF_GENERAL_RATE
+    expected = int(lo * keep)
     return {
         **s,
+        # flat-world in-box returns after the sensor's default dropoff:
+        # the central estimate for a typical sweep (structure raises it,
+        # occlusion+dropoff-at-range lower it; bracketed by the bounds)
+        "expected_in_box_after_dropoff": expected,
         "stacked_flat_world": N_STACK * lo,
+        "stacked_expected": N_STACK * expected,
         "stacked_geometric_cap": min(N_STACK * cap, V2_CAP),
         "v2_config_cap": V2_CAP,
-        "bench_default_stacked": 49_152,   # 8,192 raw x2 fused x3 stacked
+        # bench MAX_POINTS is raw per HALF rotation: stacked = 6x
+        "bench_default_stacked": 60_000,   # 10,000 x2 fused x3 stacked
         "bench_max_stacked": V2_CAP,
     }
 
