@@ -203,8 +203,17 @@ def batchnorm(p, x, train: bool, mask=None, eps: float = 1e-5,
             "var": (1 - momentum) * p["var"] + momentum * unbiased,
         }
     else:
-        y = (x - p["mean"]) * jax.lax.rsqrt(p["var"] + eps)
-        new_stats = {"mean": p["mean"], "var": p["var"]}
+        # inference: fold running stats + affine into ONE per-channel
+        # scale/shift computed in f32 (tiny vectors) and applied in the
+        # INPUT dtype — the old form promoted the whole activation to f32
+        # (params are f32), costing a convert-in/convert-out pass around
+        # every BN (~5 ms of add_convert fusions per 16-ego agent tick)
+        inv = jax.lax.rsqrt(p["var"].astype(jnp.float32) + eps)
+        scale = (p["scale"].astype(jnp.float32) * inv).astype(x.dtype)
+        shift = (p["bias"].astype(jnp.float32)
+                 - p["mean"].astype(jnp.float32)
+                 * p["scale"].astype(jnp.float32) * inv).astype(x.dtype)
+        return x * scale + shift, {"mean": p["mean"], "var": p["var"]}
     y = y * p["scale"] + p["bias"]
     return y.astype(x.dtype), new_stats
 

@@ -96,8 +96,9 @@ def _segment_mean_gather(values, pid, keep, num_segments: int,
     # pad the update rows to 128 lanes: XLA assigns a 4-channel scatter a
     # lanes-minor layout (updates become strided single-element writes,
     # 31 ms/tick on v5e) while >=64-wide scatters keep the natural row
-    # layout and run ~12 ms.  The zero lanes are wasted bandwidth but the
-    # fast path wins 2.5x overall.
+    # layout and run ~12 ms.  width=64 was tried in-context (round 3) to
+    # halve the pad copy: the full agent graph got +11 ms of 'other'
+    # (serialized lowering) and +4.7 ms of gathers — keep 128.
     width = 128
     packed = jnp.pad(packed, ((0, 0), (0, width - packed.shape[-1])))
     acc = jnp.zeros((num_segments, width), values.dtype)
@@ -281,20 +282,12 @@ def point_pillar_apply(
         feat, state[f"bn_{i}"] = L.batchnorm(p[f"bn_{i}"], feat, train, mask=keep)
         feat = jax.nn.relu(feat)
 
-    # per-pillar max pool + dense canvas scatter in one shot
-    neg = jnp.asarray(-1e30, feat.dtype)
-    feat = jnp.where(keep[..., None], feat, neg)
-
     if not train and not use_pallas:
         # INFERENCE fast path: the point MLP ends in ReLU, so features are
         # >= 0 and a ZERO-initialized scatter-max is exactly the reference
         # zero-canvas semantics (empty pillar == all-zero-feature pillar) —
         # without the -1e30 fill pass or the where-rewrite pass over the
-        # 210 MB canvas (~5 ms/tick at 16 egos; the scatter itself is
-        # issue-bound so the masked -1e30 updates routed to the dump slot
-        # cost nothing extra).  Training keeps the -1e30 form: max-grad
-        # tie-breaking against the 0 init would reroute gradients at
-        # exact-zero ReLU outputs.
+        # 210 MB canvas (~5 ms/tick at 16 egos).
         C = feat.shape[-1]
         if PAD_CANVAS_LANES and C < 128:
             # emit the canvas 128 lanes wide: the scatter is issue-bound
@@ -304,10 +297,24 @@ def point_pillar_apply(
             # skipping XLA's canvas retile pass
             feat = jnp.pad(feat, ((0, 0), (0, 0), (0, 128 - C)))
             C = 128
-        canvas = jnp.zeros((Bq * num_segments, C), feat.dtype)
-        canvas = canvas.at[pid_flat].max(feat.reshape(-1, C))
-        canvas = canvas.reshape(Bq, num_segments, C)[:, : ny * nx]
+        # NO dump slot: the canvas is exactly (G, C) per item and invalid
+        # points keep pid == G, which is OUT OF BOUNDS — XLA scatter
+        # semantics drop OOB updates natively (mode='drop'), so there is
+        # no dump row, no [:ny*nx] slice afterwards (which vmap over egos
+        # turned into a strided multi-MB copy), and no -1e30 fill pass
+        # over the padded features (dropped rows never land)
+        G = ny * nx
+        pidv = (pid + jnp.arange(Bq, dtype=pid.dtype)[:, None] * G).reshape(-1)
+        pidv = jnp.where(keep.reshape(-1), pidv, Bq * G)
+        canvas = jnp.zeros((Bq * G, C), feat.dtype)
+        canvas = canvas.at[pidv].max(feat.reshape(-1, C), mode="drop")
         return canvas.reshape(Bq, ny, nx, C), state
+
+    # per-pillar max pool: mask padded points to -1e30 so they never win
+    # (training keeps this form — max-grad tie-breaking against a 0 init
+    # would reroute gradients at exact-zero ReLU outputs)
+    neg = jnp.asarray(-1e30, feat.dtype)
+    feat = jnp.where(keep[..., None], feat, neg)
 
     if use_pallas and not train:
         from lav_tpu.ops.pillar_pallas import pillar_scatter_max_pallas

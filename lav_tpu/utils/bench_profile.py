@@ -22,10 +22,18 @@ def main():
     from __graft_entry__ import _v2_agent_setup
     import jax.numpy as jnp
 
-    step, params, state, obs = _v2_agent_setup(max_points=args.max_points)
+    import functools
+
+    step, params, state, obs = _v2_agent_setup(
+        max_points=args.max_points,
+        compute_dtype=jnp.bfloat16,
+    )
     states = jax.tree.map(lambda x: jnp.stack([x] * args.num_ego), state)
     obsb = jax.tree.map(lambda x: jnp.stack([x] * args.num_ego), obs)
-    vstep = jax.jit(jax.vmap(step, in_axes=(None, 0, 0)))
+    # match bench.py conditions exactly: bf16 compute + donated state
+    # buffers (the ring buffers alias in place)
+    vstep = jax.jit(jax.vmap(step, in_axes=(None, 0, 0)),
+                    donate_argnums=(1,))
 
     lowered = vstep.lower(params, states, obsb)
     compiled = lowered.compile()
@@ -51,16 +59,21 @@ def main():
         pass
 
     if args.trace:
-        import time
-
         from lav_tpu.utils.profiling import trace
+        from lav_tpu.utils.roofline import parse_trace, per_class_ms
 
         ctrl, states2, _ = vstep(params, states, obsb)
         jax.block_until_ready(ctrl)
+        iters = 4
         with trace("/tmp/lav_tpu_trace") as d:
-            for _ in range(3):
+            for _ in range(iters):
                 ctrl, states2, _ = vstep(params, states2, obsb)
             jax.block_until_ready(ctrl)
+        durs = parse_trace(d)
+        print("per-class ms/tick:", json.dumps(per_class_ms(durs, iters)))
+        print("top ops (ms/tick):")
+        for name, us in sorted(durs.items(), key=lambda kv: -kv[1])[:25]:
+            print(f"  {us / iters / 1000:8.3f}  {name[:110]}")
         print(f"trace written to {d}")
 
 
