@@ -83,10 +83,14 @@ def point_painting(lidar_xyz, sems, rigs: Sequence[CameraRig], valid=None):
     """
     N = lidar_xyz.shape[0]
     num_cams, H, W, C = sems.shape
-    # ONE flat gather across all cameras (per-camera fancy indexing lowered
-    # to separate gathers; gathers are cheap but fewer is cheaper)
+    # ONE flat gather across all cameras: row-gathers are ISSUE-bound on
+    # TPU (~2.3 ms per 320k-row gather at 16 egos), so resolve the winning
+    # camera per point FIRST (cameras later in the list override earlier,
+    # reference point_painting.py:55-64) with cheap vectorized projections,
+    # then issue a single gather.  Points seen by no camera use an
+    # out-of-bounds index and mode='fill' returns exact zeros.
     sems_flat = sems.reshape(num_cams * H * W, C)
-    painted = jnp.zeros((N, C), dtype=sems.dtype)
+    idx = jnp.full((N,), num_cams * H * W, jnp.int32)  # OOB -> zero fill
     for i, rig in enumerate(rigs):
         u, v, z = project_to_camera(rig, lidar_xyz)
         ok = (z >= 0) & (u >= 0) & (u < rig.width) & (v >= 0) & (v < rig.height)
@@ -94,6 +98,5 @@ def point_painting(lidar_xyz, sems, rigs: Sequence[CameraRig], valid=None):
             ok = ok & valid
         uc = jnp.clip(u, 0, rig.width - 1)
         vc = jnp.clip(v, 0, rig.height - 1)
-        sem_at = jnp.take(sems_flat, i * H * W + vc * W + uc, axis=0)
-        painted = jnp.where(ok[:, None], sem_at, painted)
-    return painted
+        idx = jnp.where(ok, i * H * W + vc * W + uc, idx)
+    return jnp.take(sems_flat, idx, axis=0, mode="fill", fill_value=0)

@@ -106,7 +106,40 @@ def _segment_mean_gather(values, pid, keep, num_segments: int,
     means = acc[:, :values.shape[-1]] / jnp.maximum(
         acc[:, values.shape[-1]:values.shape[-1] + 1], 1.0
     )
-    return means[pid]
+    return means.at[pid].get(indices_are_sorted=indices_sorted)
+
+
+def sort_points_by_pid(pid, points):
+    """Sort points (B, P, D) by pillar id along P; the payload rides the
+    sort as extra operands (bf16 channel pairs bit-packed into uint32).
+
+    Why: per-row gathers/scatters are ISSUE-bound on TPU (~13-16 ns/row)
+    but multi-operand sort is not — at 16x60k agent shapes a 7-operand
+    sort costs 2.65 ms and buys `indices_are_sorted` on every downstream
+    segment op: canvas scatter-max 13.4 -> 7.3 ms, mean scatter-add
+    12.4 -> ~9, mean gather-back 5.3 -> 2.0 (round-3 device traces).
+    Every consumer of the per-point features is order-independent
+    (scatter-max canvas, masked-BN statistics), so sorting is exact up to
+    float summation order in the cluster means.
+    Returns (pid_sorted, points_sorted); invalid points (pid == dump id)
+    sort to the end of each row."""
+    B, P, D = points.shape
+    if points.dtype == jnp.bfloat16:
+        pad = (-D) % 2
+        pts = jnp.pad(points, ((0, 0), (0, 0), (0, pad))) if pad else points
+        packed = jax.lax.bitcast_convert_type(
+            pts.reshape(B, P, (D + pad) // 2, 2), jnp.uint32
+        )
+        ops = (pid,) + tuple(packed[..., i] for i in range(packed.shape[-1]))
+        out = jax.lax.sort(ops, dimension=1, num_keys=1)
+        packed_s = jnp.stack(out[1:], axis=-1)
+        pts_s = jax.lax.bitcast_convert_type(
+            packed_s, jnp.bfloat16
+        ).reshape(B, P, D + pad)[..., :D]
+        return out[0], pts_s
+    ops = (pid,) + tuple(points[..., i] for i in range(D))
+    out = jax.lax.sort(ops, dimension=1, num_keys=1)
+    return out[0], jnp.stack(out[1:], axis=-1)
 
 
 def decorate_points(points, pid, keep, ix, iy, *, min_x, min_y,
@@ -236,15 +269,27 @@ def point_pillar_apply(
                pixels_per_meter=pixels_per_meter, nx=nx, ny=ny)
     pid, keep, ix, iy = compute_pillar_ids(points, valid, **geo)
 
-    # SCATTER STRATEGY (all measured on v5e, 16 egos, 49k pts):
-    #  * sorting + indices_are_sorted: SLOWER (99.6 vs 81.7 ms) — argsort
-    #    and gathers cost more than the flag saves
+    # SCATTER STRATEGY (all measured on v5e, 16 egos):
     #  * vmap-of-vmap scatters: CATASTROPHIC — XLA expands doubly-batched
     #    scatters into serialized while loops (~36 ms for a 4-channel add
     #    that costs ~0.05 ms singly-batched).  The agent step vmaps over
     #    egos around this function's batch axis, so the batch MUST be
     #    folded into the segment space (offset pillar ids, one flat
     #    scatter) rather than vmapped.
+    #  * inference sorts the points by pillar id FIRST (payload rides the
+    #    sort as bit-packed operands, see sort_points_by_pid): round-2's
+    #    "sorting is slower" verdict only condemned argsort + row gathers;
+    #    the multi-operand sort costs 2.65 ms and makes every segment op
+    #    eligible for indices_are_sorted (scatter-max 13.4 -> 7.3 ms).
+    #    Training keeps the unsorted form (sort backward = a permutation
+    #    gather; inference-only win).
+    sorted_pts = not train and not use_pallas
+    if sorted_pts:
+        pid, points = sort_points_by_pid(pid, points)
+        keep = pid < ny * nx
+        # ix/iy (decoration cell centers) recomputed from the sorted
+        # coords — same floor/clip formulas, values identical per point
+        _, _, ix, iy = compute_pillar_ids(points, keep, **geo)
     Bq = points.shape[0]
     offs = (jnp.arange(Bq, dtype=pid.dtype) * num_segments)[:, None]
     pid_flat = (pid + offs).reshape(-1)
@@ -266,11 +311,15 @@ def point_pillar_apply(
     else:
         # decoration is constant w.r.t. params (reference wraps it in
         # no_grad)
+        # pid_flat = pid + b*(G+1) stays GLOBALLY sorted when each row is
+        # (row b's max id G+b*(G+1) < row b+1's min id), so the mean
+        # scatter/gather take the sorted path for any Bq
         dec = decorate_points(
             points.reshape(-1, points.shape[-1]), pid_flat, keep.reshape(-1),
             ix.reshape(-1), iy.reshape(-1),
             min_x=min_x, min_y=min_y, pixels_per_meter=pixels_per_meter,
             nx=nx, ny=ny, num_segments=Bq * num_segments,
+            indices_sorted=sorted_pts,
         ).reshape(Bq, points.shape[1], -1)
         feat = jax.lax.stop_gradient(dec)
         start = 0
@@ -307,7 +356,13 @@ def point_pillar_apply(
         pidv = (pid + jnp.arange(Bq, dtype=pid.dtype)[:, None] * G).reshape(-1)
         pidv = jnp.where(keep.reshape(-1), pidv, Bq * G)
         canvas = jnp.zeros((Bq * G, C), feat.dtype)
-        canvas = canvas.at[pidv].max(feat.reshape(-1, C), mode="drop")
+        # sortedness of pidv across items only holds at Bq == 1 (each
+        # row's invalid tail maps to the shared OOB id Bq*G, which jumps
+        # above later rows' ids); the agent path is Bq=1 under an ego vmap
+        canvas = canvas.at[pidv].max(
+            feat.reshape(-1, C), mode="drop",
+            indices_are_sorted=sorted_pts and Bq == 1,
+        )
         return canvas.reshape(Bq, ny, nx, C), state
 
     # per-pillar max pool: mask padded points to -1e30 so they never win
