@@ -124,3 +124,33 @@ def test_fused_decoration_matches_materialized(rng):
             np.asarray(x), np.asarray(y), atol=5e-3, rtol=1e-3),
         g0, g1,
     )
+
+
+def test_sort_points_by_pid_pairing(rng):
+    """The payload must ride the sort EXACTLY (bf16 pair-bitcast path and
+    f32 multi-operand path), keeping each point's channels attached to
+    its pillar id — the sorted inference pipeline depends on it."""
+    from lav_tpu.ops.pillar import sort_points_by_pid
+
+    B, P = 3, 257
+    for D, dtype in ((11, jnp.bfloat16), (12, jnp.bfloat16), (7, jnp.float32)):
+        pts = jnp.asarray(
+            np.random.default_rng(D).normal(size=(B, P, D)), dtype
+        )
+        pid = jnp.asarray(
+            np.random.default_rng(D + 1).integers(0, 50, (B, P)), jnp.int32
+        )
+        pid_s, pts_s = sort_points_by_pid(pid, pts)
+        pid_n, pts_n = np.asarray(pid_s), np.asarray(pts_s)
+        assert pts_s.dtype == dtype and pts_s.shape == (B, P, D)
+        for b in range(B):
+            assert (np.diff(pid_n[b]) >= 0).all(), "pids not sorted"
+            # same multiset of (pid, payload) rows, bit-exact
+            pts_f = np.asarray(pts).astype(np.float64)
+            orig = sorted(map(tuple, np.concatenate(
+                [np.asarray(pid)[b][:, None].astype(np.float64), pts_f[b]],
+                axis=1).tolist()))
+            got = sorted(map(tuple, np.concatenate(
+                [pid_n[b][:, None].astype(np.float64),
+                 pts_n[b].astype(np.float64)], axis=1).tolist()))
+            assert orig == got
