@@ -96,3 +96,27 @@ def test_results_json_schema(episode_record):
     )
     assert ckpt["global_record"]["scores"]["score_composite"] == \
         results["values"][0]
+
+
+def test_evaluate_batched_early_exhaustion_keeps_stats():
+    """Episodes shorter than max_ticks must still yield the latency /
+    ego_steps_per_sec keys (round-2 weak 3: the early return used to drop
+    the headline metric)."""
+    from lav_tpu.agent.evaluate import evaluate_batched
+
+    ticks = 6
+    envs = []
+    for s in range(2):
+        ep = make_synthetic_episode(
+            n_frames=ticks + CFG.num_plan + 1, n_lidar=MAX_PTS,
+            img_hw=IMG_HW, bev_hw=(CFG.ny, CFG.nx), seed=10 + s,
+        )
+        envs.append(ReplayEnv(ep, CFG, max_points=MAX_PTS))
+    init_state, step_fn = build_agent(CFG, max_points=MAX_PTS, rgb_hw=IMG_HW)
+    params = build_params(CFG)
+    # max_ticks far beyond the episodes' length -> exhaustion path
+    stats = evaluate_batched(CFG, params, envs, step_fn, init_state,
+                             max_ticks=500)
+    assert 0 < stats["ticks"] <= 2 * (ticks + CFG.num_plan + 1)
+    assert "latency" in stats and stats["latency"], stats
+    assert "ego_steps_per_sec" in stats, stats
