@@ -89,10 +89,76 @@ def parse_trace(logdir: str) -> Dict[str, float]:
     return dict(durs)
 
 
-def per_class_ms(durs_us: Dict[str, float], iters: int = 1) -> Dict[str, float]:
+def fusion_kinds_from_hlo(hlo_text: str) -> Dict[str, str]:
+    """Map fusion op names -> dominant inner-op class by scanning each
+    `calls=`d fused computation for a scatter/conv/gather/sort root.
+
+    Trace event names like `fusion.41` say nothing about content (the
+    pillar scatters, convs and gathers all present as bare fusions);
+    this recovers the class from the compiled HLO so per_class_ms can
+    attribute them honestly."""
+    # fusion def lines: %fusion.N = <shape> fusion(...), ..., calls=%comp
+    fusion_comp = {}
+    for m in re.finditer(
+        r"%?([\w.\-]+) = \S+ fusion\([^\n]*?calls=%?([\w.\-]+)", hlo_text
+    ):
+        fusion_comp[m.group(1)] = m.group(2)
+    # computation bodies: scan for high-signal inner ops; fusions NEST
+    # (a kCustom scatter fusion wraps inner fusions), so also record each
+    # body's inner `calls=` edges and resolve transitively
+    cur = None
+    kinds_present: Dict[str, set] = {}
+    calls_edges: Dict[str, set] = {}
+    for line in hlo_text.splitlines():
+        m = re.match(r"%?([\w.\-]+) \(", line)
+        if m and not line.startswith(" "):
+            cur = m.group(1)
+            kinds_present[cur] = set()
+            calls_edges[cur] = set()
+            continue
+        if cur is None:
+            continue
+        om = re.match(r"\s+(?:ROOT )?%?[\w.\-]+ = \S+ ([\w\-]+)\(", line)
+        if om:
+            kinds_present[cur].add(om.group(1))
+        for cm in re.finditer(r"calls=%?([\w.\-]+)", line):
+            calls_edges[cur].add(cm.group(1))
+        if line.rstrip() == "}":
+            cur = None
+    priority = ("scatter", "convolution", "gather", "sort", "dot")
+    rename = {"convolution": "conv", "dot": "matmul"}
+
+    def resolve(comp: str, depth: int = 0) -> Optional[str]:
+        if comp not in kinds_present or depth > 4:
+            return None
+        kinds = set(kinds_present[comp])
+        for sub in calls_edges.get(comp, ()):
+            if sub in kinds_present:
+                kinds |= kinds_present[sub]
+        for p in priority:
+            if p in kinds:
+                return rename.get(p, p)
+        for sub in calls_edges.get(comp, ()):
+            k = resolve(sub, depth + 1)
+            if k:
+                return k
+        return None
+
+    out = {}
+    for f, c in fusion_comp.items():
+        k = resolve(c)
+        if k:
+            out[f] = k
+    return out
+
+
+def per_class_ms(durs_us: Dict[str, float], iters: int = 1,
+                 fusion_kinds: Optional[Dict[str, str]] = None
+                 ) -> Dict[str, float]:
     out: Dict[str, float] = collections.defaultdict(float)
     for name, us in durs_us.items():
-        out[classify_op(name)] += us / 1000.0 / iters
+        cls = (fusion_kinds or {}).get(name) or classify_op(name)
+        out[cls] += us / 1000.0 / iters
     return dict(sorted(out.items(), key=lambda kv: -kv[1]))
 
 
@@ -139,7 +205,12 @@ def roofline_summary(
     finally:
         if own:
             shutil.rmtree(logdir, ignore_errors=True)
-    classes = per_class_ms(durs, iters)
+    fk = None
+    try:
+        fk = fusion_kinds_from_hlo(compiled.as_text())
+    except Exception:
+        pass  # classification falls back to name-pattern buckets
+    classes = per_class_ms(durs, iters, fusion_kinds=fk)
     device_ms = sum(classes.values())
     totals = cost_totals(compiled)
     dev_s = device_ms / 1000.0

@@ -104,3 +104,39 @@ def test_augmenter_includes_elastic():
     )
     out = aug(img)
     assert out.shape == img.shape and out.dtype == np.uint8
+
+
+def test_fusion_kinds_from_hlo_nested():
+    """Fusion trace names hide their content; the HLO-based classifier
+    must see through one level of kCustom fusion nesting (the pillar
+    scatters compile to fusion-in-fusion)."""
+    from lav_tpu.utils.roofline import fusion_kinds_from_hlo, per_class_ms
+
+    hlo = """\
+%fused_computation.9 (p0: bf16[8,128]) -> bf16[8,128] {
+  %p0 = bf16[8,128]{1,0} parameter(0)
+  ROOT %s = bf16[8,128]{1,0} scatter(%p0, %p0, %p0), to_apply=%max
+}
+
+%fused_computation.8 (p0: bf16[8,128]) -> bf16[8,128] {
+  %p0 = bf16[8,128]{1,0} parameter(0)
+  ROOT %inner = bf16[8,128]{1,0} fusion(%p0), kind=kCustom, calls=%fused_computation.9
+}
+
+%fused_computation.7 (p0: bf16[8,128]) -> bf16[8,128] {
+  %p0 = bf16[8,128]{1,0} parameter(0)
+  ROOT %c = bf16[8,128]{1,0} convolution(%p0, %p0), window={}
+}
+
+ENTRY %main (a: bf16[8,128]) -> bf16[8,128] {
+  %a = bf16[8,128]{1,0} parameter(0)
+  %fusion.1 = bf16[8,128]{1,0} fusion(%a), kind=kCustom, calls=%fused_computation.8
+  ROOT %fusion.2 = bf16[8,128]{1,0} fusion(%fusion.1), kind=kOutput, calls=%fused_computation.7
+}
+"""
+    fk = fusion_kinds_from_hlo(hlo)
+    assert fk["fusion.1"] == "scatter", fk
+    assert fk["fusion.2"] == "conv", fk
+    classes = per_class_ms({"fusion.1": 2000.0, "fusion.2": 1000.0,
+                            "copy.5": 500.0}, iters=1, fusion_kinds=fk)
+    assert classes == {"scatter": 2.0, "conv": 1.0, "copy": 0.5}
