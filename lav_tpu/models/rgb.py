@@ -98,7 +98,11 @@ def brake_model_apply(params, rgb1, rgb2, train: bool = False,
     uint8-scale.  Returns (pred_bra (B,), [pred_sem1, pred_sem2,] state)."""
 
     def norm(x):
-        return (x / 255.0 - _IMAGENET_MEAN) / _IMAGENET_STD
+        # constants in x's dtype: the f32 arrays otherwise promote a bf16
+        # activation back to f32 and the whole entry conv runs f32
+        # (measured 1.4 ms/16-ego tick in the fused agent)
+        return ((x / 255.0 - _IMAGENET_MEAN.astype(x.dtype))
+                / _IMAGENET_STD.astype(x.dtype))
 
     x1, st1 = resnet_apply(params["conv_backbone"], norm(rgb1), train)
     x2, st2 = resnet_apply(params["conv_backbone"], norm(rgb2), train)
