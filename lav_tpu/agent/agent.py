@@ -204,7 +204,11 @@ def build_agent(cfg: LAVConfig, *, max_points: int = 0,
                 params["seg_model"], obs["rgbs"].astype(cdt), False
             )
             sem_prob = jax.nn.softmax(seg_logits.astype(jnp.float32), axis=-1)
-            pred_sem = sem_prob[..., 1:] * (1.0 - sem_prob[..., :1])
+            # softmax stays f32 (precision); the painted FEATURES are
+            # ordinary activations — carry them in the compute dtype so
+            # the painting gather and the ring buffer row don't run f32
+            pred_sem = (sem_prob[..., 1:]
+                        * (1.0 - sem_prob[..., :1])).astype(cdt)
         if "paint" in skip:
             painted = jnp.zeros((Pb, n_sem))
         else:
