@@ -282,7 +282,10 @@ def gru(p, x, h0=None):
         h_new = (1.0 - z) * n + z * h
         return h_new, h_new
 
-    h_last, ys = jax.lax.scan(step, h0, xi)
+    # fully unroll short horizons: the plan/cast GRUs run T <= 20 tiny
+    # steps whose per-iteration launch overhead dominates the math;
+    # unrolling lets XLA fuse across steps (same numerics, scan semantics)
+    h_last, ys = jax.lax.scan(step, h0, xi, unroll=T if T <= 24 else 1)
     return jnp.swapaxes(ys, 0, 1), h_last
 
 
