@@ -326,9 +326,32 @@ def point_pillar_apply(
 
     # per-point MLP with batch-wide masked BN (reference flattens the whole
     # batch into one point list before BN1d, point_pillar.py:109-114)
+    pad_last = (PAD_CANVAS_LANES and not train and not use_pallas
+                and num_features[-1] < 128)
     for i in range(start, len(num_features)):
-        feat = L.linear(p[f"linear_{i}"], feat)
-        feat, state[f"bn_{i}"] = L.batchnorm(p[f"bn_{i}"], feat, train, mask=keep)
+        pl_, pb = p[f"linear_{i}"], p[f"bn_{i}"]
+        if pad_last and i == len(num_features) - 1:
+            # emit the LAST layer 128 lanes wide by zero-padding its
+            # output channels in the WEIGHTS (free on the MXU — the tile
+            # is 128 lanes anyway) instead of jnp.pad-ing the (B, P, 64)
+            # activations afterwards (a 245 MB pass at 16x60k).  The
+            # extra lanes are exactly 0 through linear (zero w/b), BN
+            # (zero scale/bias; var padded with 1 so rsqrt stays finite)
+            # and ReLU — identical to padding the activations.
+            padn = 128 - num_features[-1]
+            pl_ = {"w": jnp.pad(pl_["w"], ((0, 0), (0, padn))),
+                   "b": jnp.pad(pl_["b"], ((0, padn),))}
+            pb = {"scale": jnp.pad(pb["scale"], (0, padn)),
+                  "bias": jnp.pad(pb["bias"], (0, padn)),
+                  "mean": jnp.pad(pb["mean"], (0, padn)),
+                  "var": jnp.pad(pb["var"], (0, padn), constant_values=1.0)}
+        feat = L.linear(pl_, feat)
+        feat, st_bn = L.batchnorm(pb, feat, train, mask=keep)
+        if pad_last and i == len(num_features) - 1:
+            # state keeps the UNPADDED running stats (train=False here, so
+            # they are just the stored ones)
+            st_bn = {"mean": p[f"bn_{i}"]["mean"], "var": p[f"bn_{i}"]["var"]}
+        state[f"bn_{i}"] = st_bn
         feat = jax.nn.relu(feat)
 
     if not train and not use_pallas:
@@ -339,11 +362,10 @@ def point_pillar_apply(
         # 210 MB canvas (~5 ms/tick at 16 egos).
         C = feat.shape[-1]
         if PAD_CANVAS_LANES and C < 128:
-            # emit the canvas 128 lanes wide: the scatter is issue-bound
-            # (width 64 vs 128 is the same speed) and a (..., 128) canvas
-            # is already in the conv's tile layout — the backbone zero-pads
-            # its entry-conv input channels to match (exact same math),
-            # skipping XLA's canvas retile pass
+            # fallback activation pad (only reachable when the MLP loop
+            # didn't run its last layer here, e.g. FUSED_DECORATION with a
+            # single layer — the weight-padded path above already emits
+            # 128 lanes otherwise)
             feat = jnp.pad(feat, ((0, 0), (0, 0), (0, 128 - C)))
             C = 128
         # NO dump slot: the canvas is exactly (G, C) per item and invalid
