@@ -72,6 +72,23 @@ def _kbm_step(consts, x, spd, steer):
     return jnp.stack([xp, yp, tp])
 
 
+def _inv3(S):
+    """Closed-form 3x3 inverse (adjugate / determinant)."""
+    a, b, c = S[0, 0], S[0, 1], S[0, 2]
+    d, e, f = S[1, 0], S[1, 1], S[1, 2]
+    g, h, i = S[2, 0], S[2, 1], S[2, 2]
+    A = e * i - f * h
+    B = f * g - d * i
+    C = d * h - e * g
+    det = a * A + b * B + c * C
+    adj = jnp.array([
+        [A, c * h - b * i, b * f - c * e],
+        [B, a * i - c * g, c * d - a * f],
+        [C, b * g - a * h, a * e - b * d],
+    ])
+    return adj / det
+
+
 def ekf_predict_update(consts, state: EKFState, spd, steer, lat, lon,
                        compass) -> EKFState:
     """One predict+update; on the first call just latches the measurement
@@ -84,9 +101,11 @@ def ekf_predict_update(consts, state: EKFState, spd, steer, lat, lon,
     x_pred = _kbm_step(consts, state.x, spd, steer)
     P_pred = state.P + consts["Q"]  # F = I
 
-    # update (H = I)
+    # update (H = I).  S is 3x3 — invert in closed form (adjugate/det):
+    # jnp.linalg.inv lowers to an LU while-loop + per-element gathers,
+    # pure launch overhead at this size inside the fused tick
     S = P_pred + consts["R"]
-    K = P_pred @ jnp.linalg.inv(S)
+    K = P_pred @ _inv3(S)
     x_new = x_pred + K @ (z - x_pred)
     P_new = (jnp.eye(3) - K) @ P_pred
 
