@@ -22,7 +22,6 @@ def main():
     from __graft_entry__ import _v2_agent_setup
     import jax.numpy as jnp
 
-    import functools
 
     step, params, state, obs = _v2_agent_setup(
         max_points=args.max_points,
