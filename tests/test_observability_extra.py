@@ -140,3 +140,17 @@ ENTRY %main (a: bf16[8,128]) -> bf16[8,128] {
     classes = per_class_ms({"fusion.1": 2000.0, "fusion.2": 1000.0,
                             "copy.5": 500.0}, iters=1, fusion_kinds=fk)
     assert classes == {"scatter": 2.0, "conv": 1.0, "copy": 0.5}
+
+
+def test_point_budget_brackets():
+    """The derived operating points must keep their bracket ordering:
+    flat-world in-box <= geometric in-box cap <= all-rays cap, and the
+    bench default (60k stacked) must sit inside [flat-world, config cap]."""
+    from lav_tpu.utils.point_budget import summary
+
+    s = summary()
+    assert s["stacked_flat_world"] <= s["v2_config_cap"] == 120_000
+    # bench.py's derived default: 6 * 10,000 stacked
+    assert s["stacked_flat_world"] >= 60_000 * 0.8  # sanity: same regime
+    per_sweep = s["stacked_flat_world"] / 3
+    assert 0 < per_sweep <= 60_000  # hard all-rays cap per fused sweep
