@@ -77,6 +77,12 @@ def test_agent_policy_parity_int8(rng):
     init_state, step_fn = build_agent(cfg, max_points=P, rgb_hw=img_hw)
     params = build_params(cfg)
     params_q = quantize_tree(params)
+    # bench.py's DEFAULT scope (BENCH_INT8=mxu): only the MXU-bound
+    # stacks — a strict subset of the full quantization, tested on the
+    # same replay so the headline config is parity-bounded directly
+    params_mxu = dict(params)
+    params_mxu["lidar_model"] = quantize_tree(params["lidar_model"])
+    params_mxu["uniplanner"] = quantize_tree(params["uniplanner"])
 
     env = ReplayEnv(
         make_synthetic_episode(n_frames=N_TICKS + cfg.num_plan + 1, n_lidar=P,
@@ -86,7 +92,8 @@ def test_agent_policy_parity_int8(rng):
     )
     step = jax.jit(step_fn)
     traces = {}
-    for name, prm in (("f32", params), ("int8", params_q)):
+    for name, prm in (("f32", params), ("int8", params_q),
+                      ("mxu", params_mxu)):
         state = init_state()
         out = []
         for t, obs in enumerate(env.frames()):
@@ -98,9 +105,10 @@ def test_agent_policy_parity_int8(rng):
                         float(ctrl.brake)])
         traces[name] = np.asarray(out)
 
-    d = np.abs(traces["f32"] - traces["int8"])
-    # documented policy envelope: continuous channels within 0.05,
-    # binary brake flips on at most 10% of ticks
-    assert d[:, 0].max() < 0.05, f"steer dev {d[:, 0].max()}"
-    assert d[:, 1].max() < 0.05, f"throttle dev {d[:, 1].max()}"
-    assert (traces["f32"][:, 2] != traces["int8"][:, 2]).mean() <= 0.10
+    for q in ("int8", "mxu"):
+        d = np.abs(traces["f32"] - traces[q])
+        # documented policy envelope: continuous channels within 0.05,
+        # binary brake flips on at most 10% of ticks
+        assert d[:, 0].max() < 0.05, f"{q} steer dev {d[:, 0].max()}"
+        assert d[:, 1].max() < 0.05, f"{q} throttle dev {d[:, 1].max()}"
+        assert (traces["f32"][:, 2] != traces[q][:, 2]).mean() <= 0.10
