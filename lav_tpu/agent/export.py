@@ -22,8 +22,10 @@ from lav_tpu.config import LAVConfig
 from lav_tpu.agent.agent import build_agent
 
 
-def _example_inputs(cfg: LAVConfig, max_points: int, rgb_hw, tel_hw):
-    init_state, step = build_agent(cfg, max_points=max_points, rgb_hw=rgb_hw)
+def _example_inputs(cfg: LAVConfig, max_points: int, rgb_hw, tel_hw,
+                    compute_dtype=None):
+    init_state, step = build_agent(cfg, max_points=max_points, rgb_hw=rgb_hw,
+                                   compute_dtype=compute_dtype)
     state = init_state()
     P = state.prev_lidar.shape[0]
     obs = dict(
@@ -61,12 +63,25 @@ def _register_pytrees():
 
 
 def export_agent_step(cfg: LAVConfig, params, *, max_points: int = 8192,
-                      rgb_hw=(288, 256), tel_hw=(192, 480)) -> bytes:
-    """Serialize the jitted closed-loop step with params baked in."""
+                      rgb_hw=(288, 256), tel_hw=(192, 480),
+                      compute_dtype=None, quant_int8: bool = False) -> bytes:
+    """Serialize the jitted closed-loop step with params baked in.
+
+    compute_dtype / quant_int8 export the SERVING configuration (bf16
+    activations + int8 MXU-bound conv stacks, the bench default): params
+    are quantized here (weights int8, static per-channel scales) and
+    baked into the artifact like any other constant."""
     from jax import export as jexport
 
     _register_pytrees()
-    step, state, obs = _example_inputs(cfg, max_points, rgb_hw, tel_hw)
+    if quant_int8:
+        from lav_tpu.nn.quant import quantize_tree
+
+        params = dict(params)
+        params["lidar_model"] = quantize_tree(params["lidar_model"])
+        params["uniplanner"] = quantize_tree(params["uniplanner"])
+    step, state, obs = _example_inputs(cfg, max_points, rgb_hw, tel_hw,
+                                       compute_dtype=compute_dtype)
 
     def fn(state, obs):
         return step(params, state, obs)

@@ -176,3 +176,25 @@ def test_agent_export_roundtrip(rng):
     fn = load_agent_step(blob)
     ctrl, new_state, aux = fn(state, obs)
     assert np.isfinite(float(ctrl.steer))
+
+
+def test_agent_export_serving_config(rng):
+    """Export the SERVING configuration (int8 MXU stacks baked in) and run
+    a tick through the deserialized artifact."""
+    from lav_tpu.agent.export import export_agent_step, load_agent_step
+    from tests.test_agent import _params, _obs, IMG_HW
+
+    cfg = tiny_config()
+    params = _params(cfg)
+    blob = export_agent_step(cfg, params, max_points=128, rgb_hw=IMG_HW,
+                             tel_hw=IMG_HW, quant_int8=True)
+    from lav_tpu.agent.agent import build_agent
+    init_state, _ = build_agent(cfg, max_points=128, rgb_hw=IMG_HW)
+    state = init_state()
+    obs = _obs(rng, state.prev_lidar.shape[0], 0)
+    obs["tel_rgb"] = jnp.asarray(
+        np.random.default_rng(0).uniform(0, 255, (*IMG_HW, 3)).astype(np.float32)
+    )
+    ctrl, new_state, aux = load_agent_step(blob)(state, obs)
+    assert np.isfinite(float(ctrl.steer))
+    assert 0.0 <= float(ctrl.throttle) <= 1.0
