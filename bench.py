@@ -46,8 +46,10 @@ def main():
     # backbone + planner crop resnet: 206.9 vs 202.8 steps/s, policy
     # parity bounded by the 100-tick oracle in tests/test_quant.py);
     # BENCH_INT8=1 quantizes every stack (measured net-zero);
-    # BENCH_INT8=0 runs pure bf16.
-    quant = os.environ.get("BENCH_INT8", "mxu")
+    # BENCH_INT8=0 runs pure bf16.  BENCH_F32 alone means PURE f32 —
+    # int8 must be asked for explicitly there.
+    quant = os.environ.get("BENCH_INT8",
+                           "0" if os.environ.get("BENCH_F32") else "mxu")
     quant = False if quant in ("0", "", "false") else quant
     step, params, state0, obs0 = _v2_agent_setup(
         max_points=MAX_POINTS, compute_dtype=dtype, use_pallas=use_pallas,
