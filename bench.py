@@ -33,12 +33,67 @@ ITERS = int(os.environ.get("BENCH_ITERS", "20"))
 MAX_POINTS = int(os.environ.get("BENCH_MAX_POINTS", "10000"))
 BASELINE_STEPS_PER_SEC = 500.0
 
+_PROBE_SRC = """
+import time, sys
+import numpy as np
+import jax, jax.numpy as jnp
+t0 = time.perf_counter()
+x = jnp.asarray(np.full((2048, 1024), 0.5, np.float32))   # 8 MB up
+y = x @ x.T
+host = np.asarray(y)                                       # 16 MB down
+assert abs(float(host[0, 0]) - 256.0) < 1e-3, host[0, 0]
+print(f"PROBE_OK {time.perf_counter() - t0:.2f}")
+"""
+
+
+def probe_backend(timeout_s=420):
+    """Touch the TPU from a SUBPROCESS with a hard timeout before the main
+    process commits to it.  The remote tunnel has two failure modes this
+    catches (CLAUDE.md round-3 lore): backend init raising UNAVAILABLE, and
+    extreme degradation (~19 MB/s) that looks like a deadlock.  A subprocess
+    is the only reliable guard — a hung block_until_ready in-process cannot
+    be interrupted.  The probe exits before we touch the device (the single
+    TPU serializes concurrent processes)."""
+    import subprocess
+
+    try:
+        r = subprocess.run([sys.executable, "-c", _PROBE_SRC],
+                           capture_output=True, text=True, timeout=timeout_s)
+    except subprocess.TimeoutExpired:
+        return None, f"probe timed out after {timeout_s}s (degraded tunnel?)"
+    for line in r.stdout.splitlines():
+        if line.startswith("PROBE_OK"):
+            return float(line.split()[1]), None
+    tail = (r.stderr or r.stdout).strip().splitlines()[-5:]
+    return None, f"probe rc={r.returncode}: {' | '.join(tail)}"
+
+
+def emit_error(err, probe_s=None):
+    """The driver parses ONE JSON line; a traceback parses as null
+    (BENCH_r03).  Any failure must still produce the line."""
+    print(json.dumps({
+        "metric": "v2_fused_agent_steps_per_sec_per_chip",
+        "value": 0.0,
+        "unit": "steps/s",
+        "vs_baseline": 0.0,
+        "error": str(err)[:2000],
+        "probe_roundtrip_s": probe_s,
+    }))
+
 
 def main():
     sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
     import jax.numpy as jnp
 
     from __graft_entry__ import _v2_agent_setup
+
+    probe_s, probe_err = probe_backend()
+    if probe_err is not None:
+        print(f"[bench] backend probe failed: {probe_err}", file=sys.stderr)
+        emit_error(f"TPU backend probe failed: {probe_err}")
+        return
+    print(f"[bench] backend probe ok: 8MB up + matmul + 16MB down in "
+          f"{probe_s:.2f}s", file=sys.stderr)
 
     dtype = None if os.environ.get("BENCH_F32") else jnp.bfloat16
     use_pallas = bool(os.environ.get("BENCH_PALLAS"))
@@ -51,7 +106,7 @@ def main():
     quant = os.environ.get("BENCH_INT8",
                            "0" if os.environ.get("BENCH_F32") else "mxu")
     quant = False if quant in ("0", "", "false") else quant
-    step, params, state0, obs0 = _v2_agent_setup(
+    step, params, state0, obs0, info = _v2_agent_setup(
         max_points=MAX_POINTS, compute_dtype=dtype, use_pallas=use_pallas,
         quant_int8=quant,
     )
@@ -153,15 +208,22 @@ def main():
         finally:
             shutil.rmtree(d1, ignore_errors=True)
     except Exception as e:
-        log(f"single-ego trace failed ({e!r}); falling back to wall clock")
-        lat1 = []
-        for _ in range(max(ITERS, 10)):
-            t1 = time.perf_counter()
-            c1, state1 = tick1c(params, state1, obs1)
-            jax.block_until_ready((c1, state1))
-            lat1.append(time.perf_counter() - t1)
-        p50_1 = sorted(lat1)[len(lat1) // 2]
-    log(f"single-ego device {p50_1 * 1000:.2f} ms/tick")
+        log(f"single-ego trace failed ({e!r}); device number unavailable")
+        p50_1 = None
+    # synchronized wall-clock beside it (VERDICT r3 weak-5): through the
+    # remote tunnel this includes ~26 ms RTT per sync, so it OVERSTATES
+    # locally-attached deployment latency — both numbers go in the JSON
+    # with the caveat machine-readable
+    lat1 = []
+    for _ in range(max(ITERS, 10)):
+        t1 = time.perf_counter()
+        c1, state1 = tick1c(params, state1, obs1)
+        jax.block_until_ready((c1, state1))
+        lat1.append(time.perf_counter() - t1)
+    p50_1_wall = sorted(lat1)[len(lat1) // 2]
+    dev_ms = f"{p50_1 * 1000:.2f}" if p50_1 is not None else "n/a"
+    log(f"single-ego device {dev_ms} ms/tick, "
+        f"wall {p50_1_wall * 1000:.2f} ms (incl. tunnel RTT)")
 
     out = {
         "metric": "v2_fused_agent_steps_per_sec_per_chip",
@@ -169,10 +231,18 @@ def main():
         "unit": "steps/s",
         "vs_baseline": round(steps_per_sec / BASELINE_STEPS_PER_SEC, 3),
         "p50_tick_latency_ms": round(p50 * 1000, 2),
-        "p50_single_ego_device_ms": round(p50_1 * 1000, 2),
+        "p50_single_ego_device_ms":
+            round(p50_1 * 1000, 2) if p50_1 is not None else None,
+        "p50_single_ego_wall_ms": round(p50_1_wall * 1000, 2),
+        "wall_ms_caveat": "includes remote-tunnel dispatch RTT; "
+                          "device_ms is the locally-attached compute story",
+        "probe_roundtrip_s": probe_s,
         "num_ego": NUM_EGO,
         "max_points": MAX_POINTS,
-        "quant": quant or "bf16",
+        # EFFECTIVE quant state ("bf16-fallback" if int8 setup failed) —
+        # the JSON must not attribute a number to a config that never ran
+        "quant": info["quant"] if quant else (
+            "f32" if os.environ.get("BENCH_F32") else "bf16"),
     }
     if roofline is not None:
         out["roofline"] = roofline
@@ -194,4 +264,11 @@ def main():
 
 
 if __name__ == "__main__":
-    main()
+    try:
+        main()
+    except BaseException as e:  # noqa: BLE001 - the line must ALWAYS print
+        import traceback
+
+        traceback.print_exc()
+        emit_error(e)
+        raise SystemExit(0)

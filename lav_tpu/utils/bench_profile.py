@@ -23,7 +23,7 @@ def main():
     import jax.numpy as jnp
 
 
-    step, params, state, obs = _v2_agent_setup(
+    step, params, state, obs, _ = _v2_agent_setup(
         max_points=args.max_points,
         compute_dtype=jnp.bfloat16,
     )

@@ -20,7 +20,6 @@ import jax.numpy as jnp
 def run_variant(skip, num_ego, max_points, iters=8):
     from lav_tpu.config import v2_config
     from lav_tpu.agent.agent import build_agent
-    from __graft_entry__ import _v2_agent_setup
 
     from lav_tpu.models.lidar import lidar_model_init
     from lav_tpu.models.planner import uniplanner_init
