@@ -248,8 +248,15 @@ def pallas_crop_available() -> bool:
     """True when the fused Pallas crop kernel can run (TPU backend).
 
     Decided at trace time (backend identity is static); CPU tests and the
-    goldens keep the XLA gather path bit-for-bit."""
+    goldens keep the XLA gather path bit-for-bit.  Respects a
+    `jax.default_device(cpu)` override — int8 calibration replays the agent
+    step eagerly on host CPU in a process whose default backend is the TPU
+    (__graft_entry__._calibrate_v2_scales), where compiled Pallas would
+    die with 'Only interpret mode is supported on CPU backend'."""
     try:
+        dev = jax.config.jax_default_device
+        if dev is not None:
+            return getattr(dev, "platform", None) == "tpu"
         return jax.default_backend() == "tpu"
     except Exception:
         return False

@@ -24,6 +24,7 @@ Faithfully reproduced quirks (documented, load-bearing for weight parity):
 from __future__ import annotations
 
 import math
+import os
 from typing import Dict, NamedTuple, Optional
 
 import jax
@@ -42,8 +43,12 @@ EMBD = 512  # resnet18 layer4 channels / GRU hidden size
 # distill trainer's frozen-teacher BEV crop route: None = auto (Pallas for
 # bf16 sources — 28% faster step; XLA's fused gather for f32 — the Pallas
 # form materializes crops and misses HBM by ~300 MB at f32 bs=32).  Set
-# True/False to force either route.  See uniplanner_forward.
-PALLAS_BEV_CROPS = None
+# True/False (env LAV_PALLAS_BEV_CROPS=1/0, unset = auto) to force either
+# route.  See uniplanner_forward.
+PALLAS_BEV_CROPS = (
+    None if "LAV_PALLAS_BEV_CROPS" not in os.environ
+    else os.environ["LAV_PALLAS_BEV_CROPS"] == "1"
+)
 
 
 # ---------------------------------------------------------------------------
