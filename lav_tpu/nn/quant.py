@@ -112,11 +112,17 @@ def calibrate(run_once, *args, **kwargs):
 
 
 def _x_scale(p, x):
-    if _CALIBRATING:
+    if _CALIBRATING and not isinstance(x, jax.core.Tracer):
         amax = float(jnp.max(jnp.abs(x.astype(jnp.float32))))
         prev = float(p.get("x_scale", 0.0))
         p["x_scale"] = jnp.float32(max(prev, max(amax, 1e-12) / 127.0))
         return p["x_scale"]
+    # a TRACED x during calibration means this conv runs under a
+    # scan/lax.map body (e.g. the planner's crop resnet,
+    # uniplanner_infer) where observer mutation cannot see concrete
+    # values — fall through to the stored/dynamic scale; such convs are
+    # calibrated DIRECTLY by the caller (__graft_entry__._calibrate_v2_scales
+    # replays real feature-map windows through resnet_apply at top level)
     if "x_scale" in p:
         return p["x_scale"]
     amax = jnp.max(jnp.abs(x.astype(jnp.float32)))

@@ -154,3 +154,24 @@ def test_sort_points_by_pid_pairing(rng):
                 [pid_n[b][:, None].astype(np.float64),
                  pts_n[b].astype(np.float64)], axis=1).tolist()))
             assert orig == got
+
+
+def test_segment_mean_sorted_matches_scatter(rng):
+    """The block-matmul segmented mean (sorted fast path, no scatter/gather)
+    must match the scatter-add + gather-back form, including runs spanning
+    many 128-point blocks, all-invalid runs, and non-multiple-of-128 N."""
+    from lav_tpu.ops.pillar import (
+        _segment_mean_gather, _segment_mean_sorted,
+    )
+
+    for N, S in ((1000, 7), (128 * 5, 2), (131, 131), (700, 1)):
+        pid = np.sort(rng.integers(0, S, size=N)).astype(np.int32)
+        vals = rng.normal(size=(N, 3)).astype(np.float32)
+        keep = rng.uniform(size=N) > 0.3
+        a = _segment_mean_gather(jnp.asarray(vals), jnp.asarray(pid),
+                                 jnp.asarray(keep), S, indices_sorted=True)
+        b = _segment_mean_sorted(jnp.asarray(vals), jnp.asarray(pid),
+                                 jnp.asarray(keep))
+        # gather form returns means[pid]; both are per-point segment means
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   atol=1e-5, rtol=1e-5)
