@@ -68,6 +68,67 @@ def probe_backend(timeout_s=420):
     return None, f"probe rc={r.returncode}: {' | '.join(tail)}"
 
 
+def numerics_guard(max_points):
+    """TPU-vs-CPU parity on the agent's exact segment-op forms.
+
+    Round 4 found XLA's TPU emitter MISCOMPILING vmapped
+    `indices_are_sorted=True` scatters at 128-wide update rows (most
+    updates silently dropped; round-3's "sorted fast path" win was this
+    bug being fast).  CPU tests cannot catch a TPU miscompile, so the
+    bench re-verifies the three production segment ops — blocked
+    segmented mean, scatter segmented mean, drop-mode canvas scatter-max
+    (exactly as featurize builds them, incl. flags) — against the CPU
+    backend every run and reports `numerics` in the JSON line."""
+    from lav_tpu.ops.pillar import (
+        _segment_mean_gather, _segment_mean_sorted,
+    )
+
+    G = 320 * 320
+    P, C, E = max_points * 6, 128, 2
+    rng = np.random.default_rng(0)
+    pid = np.sort(rng.integers(0, G + 1, (E, P)), axis=1).astype(np.int32)
+    keep = pid < G
+    xyz = rng.normal(size=(E, P, 3)).astype(np.float32)
+    feat = rng.normal(size=(E, P, C)).astype(np.float32)
+    a_pid, a_keep = jnp.asarray(pid), jnp.asarray(keep)
+    a_xyz = jnp.asarray(xyz, jnp.bfloat16)
+    a_feat = jnp.asarray(feat, jnp.bfloat16)
+
+    mean_blocked = jax.jit(jax.vmap(lambda p, v, k: _segment_mean_sorted(
+        v, p, k).astype(jnp.float32)))
+    mean_scatter = jax.jit(jax.vmap(lambda p, v, k: _segment_mean_gather(
+        v, p, k, G + 1).astype(jnp.float32)))
+
+    def canvas_rowsum(p, v):
+        # the featurize() emit form: zero-init canvas, OOB ids dropped,
+        # sorted flag as shipped; reduced to per-row L1 so the guard
+        # fetches 0.8 MB instead of the 50 MB canvas (dropped updates
+        # change row sums)
+        cv = jnp.zeros((G, C), v.dtype).at[p].max(
+            v, mode="drop", indices_are_sorted=True)
+        return jnp.sum(jnp.abs(cv.astype(jnp.float32)), -1)
+
+    canvas = jax.jit(jax.vmap(canvas_rowsum))
+
+    out = {}
+    ok = True
+    for name, fn, args in (
+        ("mean_blocked", mean_blocked, (a_pid, a_xyz, a_keep)),
+        ("mean_scatter", mean_scatter, (a_pid, a_xyz, a_keep)),
+        ("canvas_max", canvas, (a_pid, a_feat)),
+    ):
+        tpu = np.asarray(fn(*args))
+        with jax.default_device(jax.devices("cpu")[0]):
+            cpu = np.asarray(fn(*args))
+        err = float(np.max(np.abs(tpu - cpu)))
+        out[name] = round(err, 5)
+        # bf16 rounding across backends stays well under 0.1; a dropped
+        # update shifts a row sum / mean by O(1)
+        ok = ok and err < 0.1
+    out["ok"] = ok
+    return out
+
+
 def emit_error(err, probe_s=None):
     """The driver parses ONE JSON line; a traceback parses as null
     (BENCH_r03).  Any failure must still produce the line."""
@@ -106,6 +167,15 @@ def main():
     quant = os.environ.get("BENCH_INT8",
                            "0" if os.environ.get("BENCH_F32") else "mxu")
     quant = False if quant in ("0", "", "false") else quant
+
+    numerics = None
+    try:
+        numerics = numerics_guard(MAX_POINTS)
+        print(f"[bench] numerics guard: {numerics}", file=sys.stderr,
+              flush=True)
+    except Exception as e:
+        print(f"[bench] numerics guard failed: {e!r}", file=sys.stderr)
+
     step, params, state0, obs0, info = _v2_agent_setup(
         max_points=MAX_POINTS, compute_dtype=dtype, use_pallas=use_pallas,
         quant_int8=quant,
@@ -244,6 +314,8 @@ def main():
         "quant": info["quant"] if quant else (
             "f32" if os.environ.get("BENCH_F32") else "bf16"),
     }
+    if numerics is not None:
+        out["numerics"] = numerics
     if roofline is not None:
         out["roofline"] = roofline
     try:

@@ -92,8 +92,16 @@ def _segment_mean_gather(values, pid, keep, num_segments: int,
     points: returns (P, D).  Invalid points contribute nothing.
 
     One fused scatter-add of [values, 1] (TPU scatters are expensive —
-    never issue two where one will do); pass indices_sorted=True when pid
-    is ascending to take XLA's sorted-scatter fast path."""
+    never issue two where one will do).
+
+    `indices_sorted` is accepted for API compatibility but NO LONGER
+    reaches the scatter/gather: XLA's TPU emitter MISCOMPILES a vmapped
+    `indices_are_sorted=True` scatter at 128-wide update rows (drops most
+    updates — max|err| 9.3 vs CPU at agent shapes, C<=64 exact; measured
+    round 4, see bench.py numerics guard).  The round-3 "sorted fast
+    path" speedup (13.4 -> 7.3 ms) was this miscompile being fast by
+    dropping work.  Sorted layouts still pay off via
+    `_segment_mean_sorted` (no scatter at all)."""
     v = jnp.where(keep[:, None], values, 0.0)
     ones = keep.astype(values.dtype)[:, None]
     packed = jnp.concatenate([v, ones], axis=-1)
@@ -106,11 +114,11 @@ def _segment_mean_gather(values, pid, keep, num_segments: int,
     width = 128
     packed = jnp.pad(packed, ((0, 0), (0, width - packed.shape[-1])))
     acc = jnp.zeros((num_segments, width), values.dtype)
-    acc = acc.at[pid].add(packed, indices_are_sorted=indices_sorted)
+    acc = acc.at[pid].add(packed)
     means = acc[:, :values.shape[-1]] / jnp.maximum(
         acc[:, values.shape[-1]:values.shape[-1] + 1], 1.0
     )
-    return means.at[pid].get(indices_are_sorted=indices_sorted)
+    return means.at[pid].get()
 
 
 def _segment_mean_sorted(values, pid, keep, block: int = 128):
@@ -363,8 +371,12 @@ def point_pillar_apply(
     #  * inference sorts the points by pillar id FIRST (payload rides the
     #    sort as bit-packed operands, see sort_points_by_pid): round-2's
     #    "sorting is slower" verdict only condemned argsort + row gathers;
-    #    the multi-operand sort costs 2.65 ms and makes every segment op
-    #    eligible for indices_are_sorted (scatter-max 13.4 -> 7.3 ms).
+    #    the multi-operand sort costs 2.65 ms and turns the cluster-mean
+    #    scatter+gather into _segment_mean_sorted's block matmuls.
+    #    (Round 3 also flagged the segment ops indices_are_sorted — that
+    #    "fast path" is a TPU MISCOMPILE at 128-wide update rows under
+    #    vmap: it drops most updates.  Never pass the flag to wide
+    #    scatters; see _segment_mean_gather's docstring.)
     #    Training keeps the unsorted form (sort backward = a permutation
     #    gather; inference-only win).
     sorted_pts = not train and not use_pallas
@@ -462,9 +474,12 @@ def point_pillar_apply(
         pidv = (pid + jnp.arange(Bq, dtype=pid.dtype)[:, None] * G).reshape(-1)
         pidv = jnp.where(keep.reshape(-1), pidv, Bq * G)
         canvas = jnp.zeros((Bq * G, C), feat.dtype)
-        # sortedness of pidv across items only holds at Bq == 1 (each
-        # row's invalid tail maps to the shared OOB id Bq*G, which jumps
-        # above later rows' ids); the agent path is Bq=1 under an ego vmap
+        # indices_are_sorted here is SAFE *because this is mode="drop"*:
+        # the TPU emitter miscompiles vmapped 128-wide flagged IN-BOUNDS
+        # scatters (drops updates — see _segment_mean_gather's docstring),
+        # but the drop-mode lowering is a different, verified-exact path
+        # AND 2x faster flagged (7.3 vs 14.4 ms at 16x60k).  bench.py's
+        # numerics guard re-verifies this exact form against CPU each run.
         canvas = canvas.at[pidv].max(
             feat.reshape(-1, C), mode="drop",
             indices_are_sorted=sorted_pts and Bq == 1,

@@ -9,6 +9,15 @@ shapes, vmapped over egos like the agent step, with varying inputs (the
 harness cycles argsets; a constant-foldable microbench LIES — CLAUDE.md).
 
 Run (TPU): python scripts/exp_segmean.py
+
+MEASURED (v5e, 2026-08-18, after the r4 miscompile fix removed the bogus
+indices_are_sorted flag from the in-bounds scatter): blocked eq-matmul
+0.91 ms/iter vs scatter+gather 23.48 — 26x — and MORE accurate vs the
+f32 oracle (bf16 max err 0.0078 vs 0.0130).  The round-3 "7.5 + 5.3 ms"
+scatter-mean budget was measured on the MISCOMPILED flagged form that
+drops updates (exp_scatter_miscompile.py); the correct scatter form
+costs 23.5 ms, so the blocked mean is the only acceptable inference
+path.  Verdict: default (ops/pillar.py LAV_SEG_MEAN=blocked).
 """
 import sys
 
