@@ -88,11 +88,16 @@ def _conv1_space_to_depth(w, x):
 
         y[i,j,o] = sum_{ky,kx,c} xp[2i+ky, 2j+kx, c] w[ky,kx,c,o]
 
-    with xp = pad(x, 3).  Pad x by 4 instead (even => block-aligned) and
+    with xp = pad(x, 3).  Pad by 4 instead (even => block-aligned) and
     embed w at offset +1 in an 8x8 kernel: y[i,j] then reads xp4 rows
-    2i..2i+7, i.e. s2d blocks i..i+3 — a 4x4 stride-1 VALID conv over the
-    (H/2+4, W/2+4, 4C) space-to-depth view.  Exact same products as the
-    direct conv (summation order differs at f32 rounding level).
+    2i..2i+7, i.e. s2d blocks i..i+3 — a 4x4 stride-1 conv over the
+    (H/2, W/2, 4C) space-to-depth view.  Because the pad is even, padding
+    before s2d equals padding s2d blocks: the explicit jnp.pad (a
+    materialized 0.5 ms copy at agent shapes) folds into the CONV's own
+    padding — front 2 blocks (= 4 rows), back 1 (the 4th back row is only
+    read by the sliced-away last output, so ((2,1),(2,1)) also kills the
+    output slice).  Exact same products as the direct conv (summation
+    order differs at f32 rounding level).
     """
     import jax.numpy as jnp
 
@@ -101,20 +106,17 @@ def _conv1_space_to_depth(w, x):
     # mixed-precision trains keep params f32 and cast activations; the conv
     # wrapper normally handles the weight cast — mirror it here
     w = w.astype(x.dtype)
-    xp = jnp.pad(x, ((0, 0), (4, 4), (4, 4), (0, 0)))
-    Hp, Wp = H + 8, W + 8
-    x2 = xp.reshape(B, Hp // 2, 2, Wp // 2, 2, C)
-    x2 = x2.transpose(0, 1, 3, 2, 4, 5).reshape(B, Hp // 2, Wp // 2, 4 * C)
+    x2 = x.reshape(B, H // 2, 2, W // 2, 2, C)
+    x2 = x2.transpose(0, 1, 3, 2, 4, 5).reshape(B, H // 2, W // 2, 4 * C)
 
     w8 = jnp.zeros((8, 8, C, O), w.dtype).at[1:1 + kh, 1:1 + kw].set(w)
     w2 = w8.reshape(4, 2, 4, 2, C, O).transpose(0, 2, 1, 3, 4, 5)
     w2 = w2.reshape(4, 4, 4 * C, O)
 
-    out = jax.lax.conv_general_dilated(
-        x2, w2, window_strides=(1, 1), padding="VALID",
+    return jax.lax.conv_general_dilated(
+        x2, w2, window_strides=(1, 1), padding=((2, 1), (2, 1)),
         dimension_numbers=("NHWC", "HWIO", "NHWC"),
     )
-    return out[:, : H // 2, : W // 2]
 
 
 def resnet_apply(p, x, train: bool = False, layers_cfg=(2, 2, 2, 2)):

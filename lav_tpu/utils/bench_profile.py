@@ -17,16 +17,21 @@ def main():
     p.add_argument("--trace", action="store_true")
     p.add_argument("--max-points", type=int, default=8192)
     p.add_argument("--num-ego", type=int, default=16)
+    p.add_argument("--quant", default=None,
+                   help="int8 scope as bench.py BENCH_INT8 (e.g. 'mxu')")
     args = p.parse_args()
 
     from __graft_entry__ import _v2_agent_setup
     import jax.numpy as jnp
 
 
-    step, params, state, obs, _ = _v2_agent_setup(
+    step, params, state, obs, info = _v2_agent_setup(
         max_points=args.max_points,
         compute_dtype=jnp.bfloat16,
+        quant_int8=args.quant or False,
     )
+    if args.quant:
+        print(f"quant: {info['quant']}")
     states = jax.tree.map(lambda x: jnp.stack([x] * args.num_ego), state)
     obsb = jax.tree.map(lambda x: jnp.stack([x] * args.num_ego), obs)
     # match bench.py conditions exactly: bf16 compute + donated state
@@ -58,8 +63,23 @@ def main():
         pass
 
     if args.trace:
+        import re
+
         from lav_tpu.utils.profiling import trace
-        from lav_tpu.utils.roofline import parse_trace, per_class_ms
+        from lav_tpu.utils.roofline import (
+            parse_trace, per_class_ms, fusion_kinds_from_hlo,
+        )
+
+        # op name -> (inner kind, source file:line) from the compiled HLO,
+        # so fusion.94-style trace names become attributable
+        hlo = compiled.as_text()
+        fk = fusion_kinds_from_hlo(hlo)
+        src = {}
+        for m in re.finditer(
+            r"%?([\w.\-]+) = [^\n]*?source_file=\"([^\"]+)\""
+            r"[^\n]*?source_line=(\d+)", hlo
+        ):
+            src[m.group(1)] = f"{m.group(2).split('/')[-1]}:{m.group(3)}"
 
         ctrl, states2, _ = vstep(params, states, obsb)
         jax.block_until_ready(ctrl)
@@ -69,10 +89,14 @@ def main():
                 ctrl, states2, _ = vstep(params, states2, obsb)
             jax.block_until_ready(ctrl)
         durs = parse_trace(d)
-        print("per-class ms/tick:", json.dumps(per_class_ms(durs, iters)))
+        print("per-class ms/tick:",
+              json.dumps(per_class_ms(durs, iters, fusion_kinds=fk)))
         print("top ops (ms/tick):")
-        for name, us in sorted(durs.items(), key=lambda kv: -kv[1])[:25]:
-            print(f"  {us / iters / 1000:8.3f}  {name[:110]}")
+        for name, us in sorted(durs.items(), key=lambda kv: -kv[1])[:40]:
+            kind = fk.get(name, "")
+            where = src.get(name, "")
+            print(f"  {us / iters / 1000:8.3f}  {name[:60]:62s}"
+                  f" {kind:8s} {where}")
         print(f"trace written to {d}")
 
 
