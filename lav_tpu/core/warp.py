@@ -273,6 +273,7 @@ def crop_feature_shared(
     offset_y: float = 0.75,
     use_pallas: bool = False,
     pallas_interpret: bool = False,
+    q8_x_scale=None,
 ):
     """K rotated crops from ONE feature map.
 
@@ -286,6 +287,11 @@ def crop_feature_shared(
     (core/warp_pallas.py) when the shapes qualify — the crop sampling is
     a rigid transform with bounded step, which is exactly what the kernel
     requires.  Falls back to the XLA gather otherwise.
+
+    q8_x_scale: emit int8 crops clip(round(crop / q8_x_scale), ±127) —
+    the int8 crop-resnet's activation quantize fused into the producer
+    (in the Pallas epilogue on TPU; a post-pass on the XLA fallback so
+    CPU tests see identical semantics).  Inference only (no gradient).
     """
     H, W, _ = features.shape
     theta = _crop_theta(rel_locs, rel_oris, H, W, pixels_per_meter,
@@ -295,14 +301,22 @@ def crop_feature_shared(
         use_pallas = False  # compiled Pallas is TPU-only; fall back, don't die
     if use_pallas:
         from lav_tpu.core.warp_pallas import (
-            grid_sample_shared_pallas, supports,
+            grid_sample_shared_pallas, grid_sample_shared_pallas_q8, supports,
         )
         # source px per output px of this crop's rigid transform
         step = (crop_size / H) * (H - 1) / max(crop_size - 1, 1)
         if supports(features.shape, (crop_size, crop_size), step,
                     jnp.dtype(features.dtype).itemsize):
+            if q8_x_scale is not None:
+                return grid_sample_shared_pallas_q8(
+                    features, grid, q8_x_scale, pallas_interpret)
             return grid_sample_shared_pallas(features, grid, pallas_interpret)
-    return grid_sample_shared(features, grid)
+    crops = grid_sample_shared(features, grid)
+    if q8_x_scale is not None:
+        crops = jnp.clip(
+            jnp.round(crops.astype(jnp.float32) / q8_x_scale), -127, 127
+        ).astype(jnp.int8)
+    return crops
 
 
 def crop_feature(

@@ -105,11 +105,19 @@ def supports(img_shape, out_hw, step_px: float, itemsize: int = 4) -> bool:
     return (H * W + 2 * Ho * Wo) * cpad * itemsize <= _SINGLEBUF_BUDGET
 
 
-def _kernel(starts_ref, fx_ref, fy_ref, src_ref, out_ref, *, ngx: int,
-            gs: int, unroll: bool):
+def _kernel(starts_ref, fx_ref, fy_ref, inv_s_ref, src_ref, out_ref, *,
+            ngx: int, gs: int, unroll: bool, q8: bool):
     """One (batch, channel-block, crop) grid step: all output groups of one
     crop.  Refs arrive batched: starts (1,1,ng,2) SMEM, fx/fy (1,1,ng,GS*GS),
-    src (1,H,W,CB), out (1,1,Ho,Wo,CB)."""
+    inv_s (1,1) SMEM (int8 epilogue inverse scale; ignored unless q8),
+    src (1,H,W,CB), out (1,1,Ho,Wo,CB).
+
+    q8: quantize the sampled crop IN the epilogue — out = clip(round(
+    bilinear / x_scale), ±127) as int8, while the group result is still
+    in registers.  This is the int8 crop-resnet's activation quantize
+    (nn/quant.py conv2d_int8) fused into the producer: the standalone
+    clamp/convert pass over the (K+1)-crop stack cost 4.0 ms/tick at 16
+    egos, and the crop write to HBM halves."""
     CB = src_ref.shape[-1]
     dtype = src_ref.dtype
 
@@ -152,6 +160,11 @@ def _kernel(starts_ref, fx_ref, fy_ref, src_ref, out_ref, *, ngx: int,
                        if dtype == jnp.float32 else None),
         )  # (GS*GS, CB)
 
+        if q8:
+            # acc is the f32 bilinear result: round/clip/convert here is
+            # the quant path's round(crop / x_scale) with one fewer bf16
+            # rounding (the intermediate crop tensor never exists)
+            acc = jnp.clip(jnp.round(acc * inv_s_ref[0, 0]), -127.0, 127.0)
         # the ox write offset lands on the sublane dim of the output block —
         # Mosaic needs the same alignment hint as the tile reads
         oy = pl.multiple_of((g // ngx) * GS, GS)
@@ -169,12 +182,14 @@ def _kernel(starts_ref, fx_ref, fy_ref, src_ref, out_ref, *, ngx: int,
 
 
 @functools.partial(
-    jax.jit, static_argnames=("cb", "gs", "interpret", "unroll")
+    jax.jit, static_argnames=("cb", "gs", "interpret", "unroll", "q8")
 )
-def _grid_sample_pallas_batched(img, grid, cb: int, gs: int, interpret: bool,
-                                unroll: bool = True):
+def _grid_sample_pallas_batched(img, grid, inv_s, cb: int, gs: int,
+                                interpret: bool, unroll: bool = True,
+                                q8: bool = False):
     """Natively batched core: img (B,H,W,C), grid (B,K,Ho,Wo,2) ->
-    (B,K,Ho,Wo,C) over a (B, channel-blocks, K) sequential grid."""
+    (B,K,Ho,Wo,C) over a (B, channel-blocks, K) sequential grid.
+    inv_s: (1,1) f32 int8 epilogue inverse scale (ignored unless q8)."""
     B, H, W, C = img.shape
     _, K, Ho, Wo, _ = grid.shape
     GS = gs
@@ -221,7 +236,7 @@ def _grid_sample_pallas_batched(img, grid, cb: int, gs: int, interpret: bool,
     )
 
     return pl.pallas_call(
-        functools.partial(_kernel, ngx=ngx, gs=gs, unroll=unroll),
+        functools.partial(_kernel, ngx=ngx, gs=gs, unroll=unroll, q8=q8),
         grid=(B, ncb, K),
         in_specs=[
             pl.BlockSpec((1, 1, ng, 2), lambda b, c, k: (b, k, 0, 0),
@@ -230,17 +245,20 @@ def _grid_sample_pallas_batched(img, grid, cb: int, gs: int, interpret: bool,
                          memory_space=pltpu.VMEM),
             pl.BlockSpec((1, 1, ng, GS * GS), lambda b, c, k: (b, k, 0, 0),
                          memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 1), lambda b, c, k: (0, 0),
+                         memory_space=pltpu.SMEM),
             src_spec,
         ],
         out_specs=pl.BlockSpec((1, 1, Ho, Wo, cb),
                                lambda b, c, k: (b, k, 0, 0, c),
                                memory_space=pltpu.VMEM),
-        out_shape=jax.ShapeDtypeStruct((B, K, Ho, Wo, C), img.dtype),
+        out_shape=jax.ShapeDtypeStruct(
+            (B, K, Ho, Wo, C), jnp.int8 if q8 else img.dtype),
         compiler_params=pltpu.CompilerParams(
             vmem_limit_bytes=int(vmem_bytes)
         ),
         interpret=interpret,
-    )(starts, fx, fy, img)
+    )(starts, fx, fy, inv_s, img)
 
 
 def _pick_cb(C: int, H: int, W: int, Ho: int, Wo: int,
@@ -263,16 +281,20 @@ def _pick_cb(C: int, H: int, W: int, Ho: int, Wo: int,
 
 
 @functools.lru_cache(maxsize=None)
-def _make_sampler(cb: int, gs: int, interpret: bool):
+def _make_sampler(cb: int, gs: int, interpret: bool, q8: bool = False):
     @jax.custom_batching.custom_vmap
-    def sample(img, grid):
-        out = _grid_sample_pallas_batched(img[None], grid[None], cb, gs,
-                                          interpret)
+    def sample(img, grid, inv_s):
+        out = _grid_sample_pallas_batched(img[None], grid[None], inv_s,
+                                          cb, gs, interpret, q8=q8)
         return out[0]
 
     @sample.def_vmap
-    def _rule(axis_size, in_batched, img, grid):
-        img_b, grid_b = in_batched
+    def _rule(axis_size, in_batched, img, grid, inv_s):
+        img_b, grid_b, s_b = in_batched
+        if s_b:
+            # per-tensor static scale is shared across the batch (it comes
+            # from the calibrated params, which the ego vmap broadcasts)
+            inv_s = inv_s[0]
         if not grid_b:
             grid = jnp.broadcast_to(grid, (axis_size,) + grid.shape)
         if not img_b:
@@ -281,12 +303,12 @@ def _make_sampler(cb: int, gs: int, interpret: bool):
             # of the map (that is the kernel's whole single-source design)
             B, K, Ho, Wo, _ = grid.shape
             out = _grid_sample_pallas_batched(
-                img[None], grid.reshape(1, B * K, Ho, Wo, 2), cb, gs,
-                interpret,
+                img[None], grid.reshape(1, B * K, Ho, Wo, 2), inv_s, cb, gs,
+                interpret, q8=q8,
             )
             return out.reshape(B, K, Ho, Wo, -1), True
-        return _grid_sample_pallas_batched(img, grid, cb, gs,
-                                           interpret), True
+        return _grid_sample_pallas_batched(img, grid, inv_s, cb, gs,
+                                           interpret, q8=q8), True
 
     return sample
 
@@ -318,7 +340,8 @@ def grid_sample_shared_pallas(img, grid, interpret: bool = False):
     if Ho % gs or Wo % gs:
         gs = 8
     cb = _pick_cb(C, H, W, Ho, Wo, jnp.dtype(img.dtype).itemsize)
-    return _make_sampler(cb, gs, interpret)(img, grid)
+    dummy = jnp.ones((1, 1), jnp.float32)
+    return _make_sampler(cb, gs, interpret)(img, grid, dummy)
 
 
 def _fwd(img, grid, interpret):
@@ -333,3 +356,27 @@ def _bwd(interpret, res, g):
 
 
 grid_sample_shared_pallas.defvjp(_fwd, _bwd)
+
+
+def grid_sample_shared_pallas_q8(img, grid, x_scale, interpret: bool = False):
+    """int8-emitting variant (inference only, no VJP): returns
+    clip(round(grid_sample_shared_pallas(img, grid) / x_scale), ±127) as
+    int8, quantized in the kernel epilogue so the bf16 crop stack never
+    exists in HBM.  Feed the result to nn.quant.conv2d_int8, which skips
+    its own activation quantize for int8 inputs (same math: this IS that
+    quantize, fused into the producer)."""
+    H, W, C = img.shape
+    K, Ho, Wo, _ = grid.shape
+    step = (Ho / H) * (H - 1) / max(Ho - 1, 1)
+    if not supports((H, W, C), (Ho, Wo), step,
+                    jnp.dtype(img.dtype).itemsize):
+        raise ValueError(
+            f"grid_sample_shared_pallas_q8: img={img.shape} out=({Ho},{Wo}) "
+            "fails supports(); route via crop_feature_shared"
+        )
+    gs = _pick_gs(step) or 8
+    if Ho % gs or Wo % gs:
+        gs = 8
+    cb = _pick_cb(C, H, W, Ho, Wo, jnp.dtype(img.dtype).itemsize)
+    inv = (1.0 / x_scale.astype(jnp.float32)).reshape(1, 1)
+    return _make_sampler(cb, gs, interpret, q8=True)(img, grid, inv)

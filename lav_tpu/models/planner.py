@@ -543,10 +543,17 @@ def uniplanner_infer(params, cfg: LAVConfig, features, det, cmd, nxp,
         # (conv, eval-BN and cast are per-sample: numerically identical)
         all_locs = jnp.concatenate([olocs, jnp.zeros((1, 2), olocs.dtype)])
         all_oris = jnp.concatenate([ooris, jnp.zeros((1,), ooris.dtype)])
+        # int8 crop resnet (nn/quant.py): emit the crops ALREADY quantized
+        # with conv1's calibrated activation scale — the quantize fuses
+        # into the crop kernel's epilogue (the standalone clamp/convert
+        # pass over the (K+1)-crop stack cost 4.0 ms/tick at 16 egos) and
+        # conv2d_int8 consumes the int8 crops as-is
+        c1 = params["lidar_conv_emb"].get("conv1", {})
+        q8s = c1["x_scale"] if ("w_int8" in c1 and "x_scale" in c1) else None
         crop_all = crop_feature_shared(
             features, all_locs, all_oris,
             pixels_per_meter=ppm / 2, crop_size=cfg.crop_size,
-            offset_y=cfg.y_offset, use_pallas=True,
+            offset_y=cfg.y_offset, use_pallas=True, q8_x_scale=q8s,
         )
         all_embd, _ = _conv_emb(params["lidar_conv_emb"], crop_all, False)
         other_embd, ego_embd = all_embd[:K], all_embd[K:]

@@ -199,11 +199,22 @@ def _shallow_clone(node):
     return node
 
 
-def conv2d_int8(p, x, strides, padding, dil):
-    """int8 x int8 -> int32 conv on the MXU, dequantized to x.dtype."""
-    s_x = _x_scale(p, x)
-    xq = jnp.clip(jnp.round(x.astype(jnp.float32) / s_x),
-                  -127, 127).astype(jnp.int8)
+def conv2d_int8(p, x, strides, padding, dil, out_dtype=None):
+    """int8 x int8 -> int32 conv on the MXU, dequantized to x.dtype.
+
+    An x that is ALREADY int8 is consumed as-is (it was quantized by its
+    producer with this conv's calibrated x_scale — e.g. the Pallas crop
+    kernel's q8 epilogue, core/warp_pallas.py) and dequantized to
+    `out_dtype` (default bfloat16, the inference compute dtype)."""
+    if x.dtype == jnp.int8:
+        s_x = p["x_scale"]  # producer quantized with the calibrated scale
+        xq = x
+        out_dtype = out_dtype or jnp.bfloat16
+    else:
+        s_x = _x_scale(p, x)
+        xq = jnp.clip(jnp.round(x.astype(jnp.float32) / s_x),
+                      -127, 127).astype(jnp.int8)
+        out_dtype = out_dtype or x.dtype
     y = jax.lax.conv_general_dilated(
         xq, p["w_int8"],
         window_strides=strides,
@@ -215,4 +226,4 @@ def conv2d_int8(p, x, strides, padding, dil):
     y = y.astype(jnp.float32) * (s_x * p["w_scale"])
     if "b" in p:
         y = y + p["b"].astype(jnp.float32)
-    return y.astype(x.dtype)
+    return y.astype(out_dtype)

@@ -80,6 +80,16 @@ def main():
             r"[^\n]*?source_line=(\d+)", hlo
         ):
             src[m.group(1)] = f"{m.group(2).split('/')[-1]}:{m.group(3)}"
+        # jit scope path (op_name metadata): names the MODULE a fusion
+        # belongs to when file:line is ambiguous (layers.py:92 is every
+        # conv in the program)
+        scope = {}
+        for m in re.finditer(
+            r"%?([\w.\-]+) = [^\n]*?op_name=\"([^\"]+)\"", hlo
+        ):
+            parts = [p for p in m.group(2).split("/")
+                     if not p.startswith(("jit(", "jvp(", "transpose("))]
+            scope[m.group(1)] = "/".join(parts[-3:])[-60:]
 
         ctrl, states2, _ = vstep(params, states, obsb)
         jax.block_until_ready(ctrl)
@@ -95,8 +105,8 @@ def main():
         for name, us in sorted(durs.items(), key=lambda kv: -kv[1])[:40]:
             kind = fk.get(name, "")
             where = src.get(name, "")
-            print(f"  {us / iters / 1000:8.3f}  {name[:60]:62s}"
-                  f" {kind:8s} {where}")
+            print(f"  {us / iters / 1000:8.3f}  {name[:44]:46s}"
+                  f" {kind:8s} {where:24s} {scope.get(name, '')}")
         print(f"trace written to {d}")
 
 

@@ -131,3 +131,67 @@ def test_pallas_vmap_shared_source(rng):
     out = jax.vmap(lambda g: grid_sample_shared_pallas(img, g, True))(grids)
     np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
                                atol=1e-5, rtol=1e-5)
+
+
+def test_pallas_q8_crop_matches_posthoc_quantize(rng):
+    """The q8 epilogue (int8 crops quantized IN the kernel) must match
+    quantizing the bf16 crops after the fact, up to the one bf16 rounding
+    the fused form skips (so values may differ by at most 1 quant step,
+    and only rarely)."""
+    from lav_tpu.core.warp import crop_feature_shared
+    from lav_tpu.core.warp_pallas import grid_sample_shared_pallas_q8
+
+    nrng = np.random.default_rng(11)
+    K, H, C, crop = 3, 96, 128, 32
+    img = jnp.asarray(nrng.normal(size=(H, H, C)), jnp.bfloat16)
+    locs = jnp.asarray(nrng.uniform(-8, 8, (K, 2)), jnp.float32)
+    oris = jnp.asarray(nrng.uniform(-3, 3, (K,)), jnp.float32)
+    scale = jnp.float32(
+        float(jnp.max(jnp.abs(img.astype(jnp.float32)))) / 127.0)
+
+    ref_bf16 = crop_feature_shared(
+        img, locs, oris, pixels_per_meter=4.0, crop_size=crop)
+    ref_q = np.clip(np.round(np.asarray(ref_bf16, np.float32) / float(scale)),
+                    -127, 127).astype(np.int8)
+    out_q = np.asarray(crop_feature_shared(
+        img, locs, oris, pixels_per_meter=4.0, crop_size=crop,
+        use_pallas=True, pallas_interpret=True, q8_x_scale=scale))
+    assert out_q.dtype == np.int8
+    diff = np.abs(out_q.astype(np.int32) - ref_q.astype(np.int32))
+    assert diff.max() <= 1
+    # the fused form quantizes the f32 bilinear result directly (no
+    # intermediate bf16 crop), so ~1-2% of values sit on the other side
+    # of a rounding boundary — by at most 1 step (policy impact is
+    # bounded end-to-end by test_quant.py's parity oracle)
+    assert (diff > 0).mean() < 0.05
+
+    # direct entry point agrees with the routed one
+    from lav_tpu.core.warp import _crop_theta, affine_grid
+    theta = _crop_theta(locs, oris, H, H, 4.0, crop, 0.0, 0.75, img.dtype)
+    grid = affine_grid(theta, crop, crop)
+    out2 = np.asarray(grid_sample_shared_pallas_q8(img, grid, scale, True))
+    np.testing.assert_array_equal(out_q, out2)
+
+
+def test_conv2d_int8_consumes_prequantized(rng):
+    """conv2d_int8 on int8 input (producer-quantized with the calibrated
+    x_scale) equals the bf16-input path that quantizes internally."""
+    from lav_tpu.nn.quant import quantize_conv
+    from lav_tpu.nn import layers as L
+
+    nrng = np.random.default_rng(12)
+    p = {"w": jnp.asarray(nrng.normal(size=(7, 7, 64, 32)), jnp.float32),
+         "b": jnp.asarray(nrng.normal(size=(32,)), jnp.float32)}
+    q = quantize_conv(p)
+    x = jnp.asarray(nrng.normal(size=(2, 16, 16, 64)), jnp.bfloat16)
+    s = jnp.float32(float(jnp.max(jnp.abs(x.astype(jnp.float32)))) / 127.0)
+    q["x_scale"] = s
+
+    y_float_in = L.conv2d(q, x, stride=2, padding=3)
+    xq = jnp.clip(jnp.round(x.astype(jnp.float32) / s), -127, 127
+                  ).astype(jnp.int8)
+    y_int_in = L.conv2d(q, xq, stride=2, padding=3)
+    assert y_int_in.dtype == jnp.bfloat16
+    np.testing.assert_allclose(
+        np.asarray(y_int_in, np.float32),
+        np.asarray(y_float_in.astype(jnp.float32)), atol=1e-2, rtol=1e-2)
