@@ -87,9 +87,7 @@ def main():
         for m in re.finditer(
             r"%?([\w.\-]+) = [^\n]*?op_name=\"([^\"]+)\"", hlo
         ):
-            parts = [p for p in m.group(2).split("/")
-                     if not p.startswith(("jit(", "jvp(", "transpose("))]
-            scope[m.group(1)] = "/".join(parts[-3:])[-60:]
+            scope[m.group(1)] = m.group(2)[-80:]
 
         ctrl, states2, _ = vstep(params, states, obsb)
         jax.block_until_ready(ctrl)
