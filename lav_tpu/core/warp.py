@@ -274,6 +274,7 @@ def crop_feature_shared(
     use_pallas: bool = False,
     pallas_interpret: bool = False,
     q8_x_scale=None,
+    q8_s2d: bool = False,
 ):
     """K rotated crops from ONE feature map.
 
@@ -292,6 +293,13 @@ def crop_feature_shared(
     the int8 crop-resnet's activation quantize fused into the producer
     (in the Pallas epilogue on TPU; a post-pass on the XLA fallback so
     CPU tests see identical semantics).  Inference only (no gradient).
+
+    q8_s2d (requires q8_x_scale): emit (K, crop/2, crop/2, 4C)
+    space-to-depth int8 crops, channel order (dy, dx, c), the exact
+    input form of quant.conv2d_int8_s2d — the kernel writes the layout
+    for free (phase-major matmul column order) where an XLA transpose
+    costs 5.8 ms/tick.  Callers must gate on `s2d_crop_eligible` so the
+    output shape is decided statically.
     """
     H, W, _ = features.shape
     theta = _crop_theta(rel_locs, rel_oris, H, W, pixels_per_meter,
@@ -301,21 +309,39 @@ def crop_feature_shared(
         use_pallas = False  # compiled Pallas is TPU-only; fall back, don't die
     if use_pallas:
         from lav_tpu.core.warp_pallas import (
-            grid_sample_shared_pallas, grid_sample_shared_pallas_q8, supports,
+            grid_sample_shared_pallas, grid_sample_shared_pallas_q8,
+            s2d_eligible, supports,
         )
         # source px per output px of this crop's rigid transform
         step = (crop_size / H) * (H - 1) / max(crop_size - 1, 1)
         if supports(features.shape, (crop_size, crop_size), step,
                     jnp.dtype(features.dtype).itemsize):
             if q8_x_scale is not None:
-                return grid_sample_shared_pallas_q8(
-                    features, grid, q8_x_scale, pallas_interpret)
+                s2d = q8_s2d and s2d_eligible(
+                    features.shape, (crop_size, crop_size),
+                    jnp.dtype(features.dtype).itemsize)
+                crops = grid_sample_shared_pallas_q8(
+                    features, grid, q8_x_scale, pallas_interpret, s2d=s2d)
+                if q8_s2d and not s2d:
+                    # kernel couldn't emit the layout (blocked channels /
+                    # odd group): keep the OUTPUT SHAPE contract with an
+                    # int8 XLA reshuffle (half the bf16 transpose cost)
+                    K, Ho, Wo, C = crops.shape
+                    crops = crops.reshape(K, Ho // 2, 2, Wo // 2, 2, C)
+                    crops = crops.transpose(0, 1, 3, 2, 4, 5).reshape(
+                        K, Ho // 2, Wo // 2, 4 * C)
+                return crops
             return grid_sample_shared_pallas(features, grid, pallas_interpret)
     crops = grid_sample_shared(features, grid)
     if q8_x_scale is not None:
         crops = jnp.clip(
             jnp.round(crops.astype(jnp.float32) / q8_x_scale), -127, 127
         ).astype(jnp.int8)
+        if q8_s2d:
+            K, Ho, Wo, C = crops.shape
+            crops = crops.reshape(K, Ho // 2, 2, Wo // 2, 2, C)
+            crops = crops.transpose(0, 1, 3, 2, 4, 5).reshape(
+                K, Ho // 2, Wo // 2, 4 * C)
     return crops
 
 

@@ -106,7 +106,7 @@ def supports(img_shape, out_hw, step_px: float, itemsize: int = 4) -> bool:
 
 
 def _kernel(starts_ref, fx_ref, fy_ref, inv_s_ref, src_ref, out_ref, *,
-            ngx: int, gs: int, unroll: bool, q8: bool):
+            ngx: int, gs: int, unroll: bool, q8: bool, s2d: bool):
     """One (batch, channel-block, crop) grid step: all output groups of one
     crop.  Refs arrive batched: starts (1,1,ng,2) SMEM, fx/fy (1,1,ng,GS*GS),
     inv_s (1,1) SMEM (int8 epilogue inverse scale; ignored unless q8),
@@ -165,6 +165,23 @@ def _kernel(starts_ref, fx_ref, fy_ref, inv_s_ref, src_ref, out_ref, *,
             # the quant path's round(crop / x_scale) with one fewer bf16
             # rounding (the intermediate crop tensor never exists)
             acc = jnp.clip(jnp.round(acc * inv_s_ref[0, 0]), -127.0, 127.0)
+        if s2d:
+            # space-to-depth emit: the caller ordered this group's GS*GS
+            # output positions PHASE-MAJOR ((dy,dx) of each 2x2 block
+            # first — see _s2d_group_order), so each phase is a contiguous
+            # (GS/2)^2-row slab of acc and the crop lands directly in the
+            # (Ho/2, Wo/2, 4*C) layout the stride-1 int8 conv1 wants —
+            # the XLA transpose this replaces cost 5.8 ms/tick
+            # (scripts/exp_conv1.py)
+            g2 = GS // 2
+            oy = pl.multiple_of((g // ngx) * g2, g2)
+            ox = pl.multiple_of((g % ngx) * g2, g2)
+            for p in range(4):
+                out_ref[0, 0, pl.ds(oy, g2), pl.ds(ox, g2),
+                        p * CB:(p + 1) * CB] = (
+                    acc[p * g2 * g2:(p + 1) * g2 * g2]
+                    .reshape(g2, g2, CB).astype(out_ref.dtype))
+            return 0
         # the ox write offset lands on the sublane dim of the output block —
         # Mosaic needs the same alignment hint as the tile reads
         oy = pl.multiple_of((g // ngx) * GS, GS)
@@ -181,27 +198,45 @@ def _kernel(starts_ref, fx_ref, fy_ref, inv_s_ref, src_ref, out_ref, *,
                       unroll=ng if (unroll and ng <= 300) else 1)
 
 
+def _s2d_group_order(gs: int):
+    """Static permutation putting a group's GS*GS raster positions in
+    phase-major (dy, dx, ty/2, tx/2) order, so each 2x2-phase is a
+    contiguous slab of the kernel's matmul output (the matmul column
+    order IS the output-position order — reordering is free)."""
+    import numpy as np
+
+    g2 = gs // 2
+    idx = [(2 * ty2 + dy) * gs + (2 * tx2 + dx)
+           for dy in (0, 1) for dx in (0, 1)
+           for ty2 in range(g2) for tx2 in range(g2)]
+    return np.asarray(idx, np.int32)
+
+
 @functools.partial(
-    jax.jit, static_argnames=("cb", "gs", "interpret", "unroll", "q8")
+    jax.jit, static_argnames=("cb", "gs", "interpret", "unroll", "q8", "s2d")
 )
 def _grid_sample_pallas_batched(img, grid, inv_s, cb: int, gs: int,
                                 interpret: bool, unroll: bool = True,
-                                q8: bool = False):
+                                q8: bool = False, s2d: bool = False):
     """Natively batched core: img (B,H,W,C), grid (B,K,Ho,Wo,2) ->
     (B,K,Ho,Wo,C) over a (B, channel-blocks, K) sequential grid.
-    inv_s: (1,1) f32 int8 epilogue inverse scale (ignored unless q8)."""
+    inv_s: (1,1) f32 int8 epilogue inverse scale (ignored unless q8).
+    s2d: emit (B,K,Ho/2,Wo/2,4C) space-to-depth crops (requires cb == C;
+    channel order (dy, dx, c) matching quant.conv2d_int8_s2d weights)."""
     B, H, W, C = img.shape
     _, K, Ho, Wo, _ = grid.shape
     GS = gs
     ngy, ngx = Ho // GS, Wo // GS
     ng = ngy * ngx
+    assert not s2d or (cb == C and GS % 2 == 0 and q8)
 
     ix = (grid[..., 0] + 1.0) * 0.5 * (W - 1)
     iy = (grid[..., 1] + 1.0) * 0.5 * (H - 1)
 
     def group_view(a):  # (B, K, Ho, Wo) -> (B, K, ng, GS*GS)
         a = a.reshape(B, K, ngy, GS, ngx, GS).transpose(0, 1, 2, 4, 3, 5)
-        return a.reshape(B, K, ng, GS * GS)
+        a = a.reshape(B, K, ng, GS * GS)
+        return a[..., _s2d_group_order(GS)] if s2d else a
 
     gx, gy = group_view(ix), group_view(iy)
     x0 = jnp.clip(jnp.floor(gx), 0, W - 2).astype(jnp.int32)
@@ -235,8 +270,21 @@ def _grid_sample_pallas_batched(img, grid, inv_s, cb: int, gs: int,
         pipeline_mode=pl.Buffered(buffer_count=src_bufs),
     )
 
+    if s2d:
+        out_spec = pl.BlockSpec((1, 1, Ho // 2, Wo // 2, 4 * cb),
+                                lambda b, c, k: (b, k, 0, 0, c),
+                                memory_space=pltpu.VMEM)
+        out_shape = jax.ShapeDtypeStruct((B, K, Ho // 2, Wo // 2, 4 * C),
+                                         jnp.int8)
+    else:
+        out_spec = pl.BlockSpec((1, 1, Ho, Wo, cb),
+                                lambda b, c, k: (b, k, 0, 0, c),
+                                memory_space=pltpu.VMEM)
+        out_shape = jax.ShapeDtypeStruct(
+            (B, K, Ho, Wo, C), jnp.int8 if q8 else img.dtype)
     return pl.pallas_call(
-        functools.partial(_kernel, ngx=ngx, gs=gs, unroll=unroll, q8=q8),
+        functools.partial(_kernel, ngx=ngx, gs=gs, unroll=unroll, q8=q8,
+                          s2d=s2d),
         grid=(B, ncb, K),
         in_specs=[
             pl.BlockSpec((1, 1, ng, 2), lambda b, c, k: (b, k, 0, 0),
@@ -249,11 +297,8 @@ def _grid_sample_pallas_batched(img, grid, inv_s, cb: int, gs: int,
                          memory_space=pltpu.SMEM),
             src_spec,
         ],
-        out_specs=pl.BlockSpec((1, 1, Ho, Wo, cb),
-                               lambda b, c, k: (b, k, 0, 0, c),
-                               memory_space=pltpu.VMEM),
-        out_shape=jax.ShapeDtypeStruct(
-            (B, K, Ho, Wo, C), jnp.int8 if q8 else img.dtype),
+        out_specs=out_spec,
+        out_shape=out_shape,
         compiler_params=pltpu.CompilerParams(
             vmem_limit_bytes=int(vmem_bytes)
         ),
@@ -281,11 +326,12 @@ def _pick_cb(C: int, H: int, W: int, Ho: int, Wo: int,
 
 
 @functools.lru_cache(maxsize=None)
-def _make_sampler(cb: int, gs: int, interpret: bool, q8: bool = False):
+def _make_sampler(cb: int, gs: int, interpret: bool, q8: bool = False,
+                  s2d: bool = False):
     @jax.custom_batching.custom_vmap
     def sample(img, grid, inv_s):
         out = _grid_sample_pallas_batched(img[None], grid[None], inv_s,
-                                          cb, gs, interpret, q8=q8)
+                                          cb, gs, interpret, q8=q8, s2d=s2d)
         return out[0]
 
     @sample.def_vmap
@@ -304,11 +350,11 @@ def _make_sampler(cb: int, gs: int, interpret: bool, q8: bool = False):
             B, K, Ho, Wo, _ = grid.shape
             out = _grid_sample_pallas_batched(
                 img[None], grid.reshape(1, B * K, Ho, Wo, 2), inv_s, cb, gs,
-                interpret, q8=q8,
+                interpret, q8=q8, s2d=s2d,
             )
-            return out.reshape(B, K, Ho, Wo, -1), True
+            return out.reshape(B, K, *out.shape[2:]), True
         return _grid_sample_pallas_batched(img, grid, inv_s, cb, gs,
-                                           interpret, q8=q8), True
+                                           interpret, q8=q8, s2d=s2d), True
 
     return sample
 
@@ -358,13 +404,20 @@ def _bwd(interpret, res, g):
 grid_sample_shared_pallas.defvjp(_fwd, _bwd)
 
 
-def grid_sample_shared_pallas_q8(img, grid, x_scale, interpret: bool = False):
+def grid_sample_shared_pallas_q8(img, grid, x_scale, interpret: bool = False,
+                                 s2d: bool = False):
     """int8-emitting variant (inference only, no VJP): returns
     clip(round(grid_sample_shared_pallas(img, grid) / x_scale), ±127) as
     int8, quantized in the kernel epilogue so the bf16 crop stack never
     exists in HBM.  Feed the result to nn.quant.conv2d_int8, which skips
     its own activation quantize for int8 inputs (same math: this IS that
-    quantize, fused into the producer)."""
+    quantize, fused into the producer).
+
+    s2d: additionally emit (K, Ho/2, Wo/2, 4C) space-to-depth crops
+    (channel order (dy, dx, c)) for quant.conv2d_int8_s2d — the int8
+    7x7s2 conv1 runs at 49% of int8 peak while the equivalent 4x4s1 conv
+    on the s2d view hits 94% (scripts/exp_conv1.py), and emitting the
+    layout here makes the 5.8 ms XLA transpose free."""
     H, W, C = img.shape
     K, Ho, Wo, _ = grid.shape
     step = (Ho / H) * (H - 1) / max(Ho - 1, 1)
@@ -378,5 +431,24 @@ def grid_sample_shared_pallas_q8(img, grid, x_scale, interpret: bool = False):
     if Ho % gs or Wo % gs:
         gs = 8
     cb = _pick_cb(C, H, W, Ho, Wo, jnp.dtype(img.dtype).itemsize)
+    if s2d and (cb != C or gs % 2 or Ho % 2 or Wo % 2):
+        raise ValueError("s2d crop layout ineligible here — check "
+                         "s2d_eligible() before requesting it")
     inv = (1.0 / x_scale.astype(jnp.float32)).reshape(1, 1)
-    return _make_sampler(cb, gs, interpret, q8=True)(img, grid, inv)
+    return _make_sampler(cb, gs, interpret, q8=True, s2d=s2d)(
+        img, grid, inv)
+
+
+def s2d_eligible(img_shape, out_hw, itemsize: int) -> bool:
+    """Static check: can the q8 kernel emit the s2d layout for this crop?
+    (full-C channel block, even group size, even output dims)."""
+    H, W, C = img_shape
+    Ho, Wo = out_hw
+    step = (Ho / H) * (H - 1) / max(Ho - 1, 1)
+    if not supports(img_shape, out_hw, step, itemsize):
+        return False
+    gs = _pick_gs(step) or 8
+    if Ho % gs or Wo % gs:
+        gs = 8
+    cb = _pick_cb(C, H, W, Ho, Wo, itemsize)
+    return cb == C and gs % 2 == 0 and Ho % 2 == 0 and Wo % 2 == 0

@@ -95,12 +95,34 @@ def _merged_heads(head_params, x, train):
     """head_params: list of _head param dicts (same hidden width / convT
     geometry).  Returns (list of per-head outputs, list of per-head bn
     states) — exactly what running each _head separately yields."""
-    hid = head_params[0]["conv"]["w"].shape[-1]
     couts = [p["up"]["w"].shape[-1] for p in head_params]
     n = len(head_params)
 
-    conv_w = jnp.concatenate([p["conv"]["w"] for p in head_params], axis=-1)
-    out = L.conv2d({"w": conv_w}, x, stride=1, padding=1)
+    if all("w_int8" in p["conv"] for p in head_params):
+        # int8 heads (nn/quant.py): the merged 384->256 3x3 conv runs at
+        # ~89% of bf16 MXU peak — exactly the shape int8 doubles.  Merge
+        # the per-head int8 weights/scales along out-channels; all heads
+        # see the SAME input, so the shared x_scale is the max of the
+        # calibrated per-head ones (never smaller than any head saw).
+        hid = head_params[0]["conv"]["w_int8"].shape[-1]
+        conv_p = {
+            "w_int8": jnp.concatenate(
+                [p["conv"]["w_int8"] for p in head_params], axis=-1),
+            "w_scale": jnp.concatenate(
+                [p["conv"]["w_scale"] for p in head_params]),
+        }
+        # _x_scale on each PER-HEAD dict so calibration observations
+        # persist in the params (the merged dict is rebuilt per call)
+        from lav_tpu.nn.quant import _x_scale
+
+        conv_p["x_scale"] = jnp.max(
+            jnp.stack([_x_scale(p["conv"], x) for p in head_params]))
+        out = L.conv2d(conv_p, x, stride=1, padding=1)
+    else:
+        hid = head_params[0]["conv"]["w"].shape[-1]
+        conv_w = jnp.concatenate([p["conv"]["w"] for p in head_params],
+                                 axis=-1)
+        out = L.conv2d({"w": conv_w}, x, stride=1, padding=1)
     out = jax.nn.relu(out)
     bn = {k: jnp.concatenate([p["bn"][k] for p in head_params])
           for k in head_params[0]["bn"]}

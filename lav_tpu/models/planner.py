@@ -550,10 +550,14 @@ def uniplanner_infer(params, cfg: LAVConfig, features, det, cmd, nxp,
         # conv2d_int8 consumes the int8 crops as-is
         c1 = params["lidar_conv_emb"].get("conv1", {})
         q8s = c1["x_scale"] if ("w_int8" in c1 and "x_scale" in c1) else None
+        # s2d: crops arrive as (K+1, crop/2, crop/2, 4C) int8 and conv1
+        # runs as the 94%-of-peak 4x4 stride-1 form (quant.conv2d_int8_s2d)
+        q8_s2d = q8s is not None and cfg.crop_size % 2 == 0
         crop_all = crop_feature_shared(
             features, all_locs, all_oris,
             pixels_per_meter=ppm / 2, crop_size=cfg.crop_size,
             offset_y=cfg.y_offset, use_pallas=True, q8_x_scale=q8s,
+            q8_s2d=q8_s2d,
         )
         all_embd, _ = _conv_emb(params["lidar_conv_emb"], crop_all, False)
         other_embd, ego_embd = all_embd[:K], all_embd[K:]

@@ -59,11 +59,13 @@ import re
 # param-tree keys whose subtrees must stay float: ConvTranspose blocks
 # (same 4-D 'w' layout as a conv — distinguished only by their consumer:
 # rgb.py "up{i}", lidar.py "upconvN"/"up", erfnet "up"/"output_conv",
-# unet "upconv"), the lidar entry block (consumes the 128-lane-padded
-# canvas through the pad-absorbing fast path that reads p['conv']['w']),
-# and the merged detection heads (block-diagonal convT built from raw
-# weights, models/lidar.py:_merged_heads)
-_SKIP_KEYS = re.compile(r"^(up\d*|upconv\d*|output_conv|conv1_0|\w*_head)$")
+# unet "upconv") and the lidar entry block (consumes the 128-lane-padded
+# canvas through the pad-absorbing fast path that reads p['conv']['w']).
+# Detection-head subtrees are walked: their 3x3 conv (merged 384->256,
+# ~89% of bf16 MXU peak) quantizes — models/lidar.py:_merged_heads
+# merges the int8 weights/scales — while the block-diagonal convT's
+# "up" key is caught by up\d* (zero digits) and stays raw.
+_SKIP_KEYS = re.compile(r"^(up\d*|upconv\d*|output_conv|conv1_0)$")
 
 
 def quantize_tree(tree, *, min_channels: int = 16):
@@ -197,6 +199,33 @@ def _shallow_clone(node):
     if isinstance(node, (list, tuple)):
         return type(node)(_shallow_clone(v) for v in node)
     return node
+
+
+def conv2d_int8_s2d(p, x_s2d, out_dtype=jnp.bfloat16):
+    """conv1 on SPACE-TO-DEPTH int8 input: x_s2d (B, H/2, W/2, 4C) in
+    (dy, dx, c) channel order (the Pallas crop kernel's s2d emit) with
+    p's 7x7 'w_int8' (C in-channels), stride 2, padding 3.
+
+    The direct int8 7x7s2 conv runs at 49% of int8 peak; embedding the
+    kernel at +1 in 8x8 and blocking it 2x2 turns it into a 4x4 stride-1
+    conv over the s2d view — identical int32 accumulation (verified
+    element-exact, scripts/exp_conv1.py), 94% of peak.  The even pre-pad
+    folds into conv padding ((2,1),(2,1)) exactly as in the bf16 s2d
+    entry conv (nn/resnet.py::_conv1_space_to_depth)."""
+    w = p["w_int8"]  # (7, 7, C, O)
+    kh, kw, C, O = w.shape
+    w8 = jnp.zeros((8, 8, C, O), w.dtype).at[1:1 + kh, 1:1 + kw].set(w)
+    w2 = w8.reshape(4, 2, 4, 2, C, O).transpose(0, 2, 1, 3, 4, 5)
+    w2 = w2.reshape(4, 4, 4 * C, O)
+    y = jax.lax.conv_general_dilated(
+        x_s2d, w2, window_strides=(1, 1), padding=((2, 1), (2, 1)),
+        dimension_numbers=("NHWC", "HWIO", "NHWC"),
+        preferred_element_type=jnp.int32,
+    )
+    y = y.astype(jnp.float32) * (p["x_scale"] * p["w_scale"])
+    if "b" in p:
+        y = y + p["b"].astype(jnp.float32)
+    return y.astype(out_dtype)
 
 
 def conv2d_int8(p, x, strides, padding, dil, out_dtype=None):

@@ -122,7 +122,15 @@ def _conv1_space_to_depth(w, x):
 def resnet_apply(p, x, train: bool = False, layers_cfg=(2, 2, 2, 2)):
     """x: (B, H, W, C) -> layer4 features (B, H/32, W/32, 512-ish)."""
     state = {}
-    if (S2D_ENTRY_CONV and x.shape[-1] <= 16
+    if (x.dtype == jnp.int8 and "w_int8" in p.get("conv1", {})
+            and x.shape[-1] == 4 * p["conv1"]["w_int8"].shape[2]):
+        # SPACE-TO-DEPTH int8 crops from the Pallas crop kernel's s2d
+        # emit (core/warp_pallas.py): 4x4 stride-1 int8 conv at 94% of
+        # int8 peak vs 49% for the direct 7x7s2 (scripts/exp_conv1.py)
+        from lav_tpu.nn.quant import conv2d_int8_s2d
+
+        out = conv2d_int8_s2d(p["conv1"], x)
+    elif (S2D_ENTRY_CONV and x.shape[-1] <= 16
             and x.shape[1] % 2 == 0 and x.shape[2] % 2 == 0):
         out = _conv1_space_to_depth(p["conv1"]["w"], x)
         if "b" in p["conv1"]:

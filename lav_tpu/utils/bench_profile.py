@@ -83,11 +83,12 @@ def main():
         # jit scope path (op_name metadata): names the MODULE a fusion
         # belongs to when file:line is ambiguous (layers.py:92 is every
         # conv in the program)
+        # output shape from the HLO def line: functional JAX puts no module
+        # names in op_name, but shapes identify the net (e.g. the 48-image
+        # camera stack vs the 16-canvas backbone)
         scope = {}
-        for m in re.finditer(
-            r"%?([\w.\-]+) = [^\n]*?op_name=\"([^\"]+)\"", hlo
-        ):
-            scope[m.group(1)] = m.group(2)[-80:]
+        for m in re.finditer(r"%?([\w.\-]+) = (\([^)]*\)|\S+) fusion", hlo):
+            scope[m.group(1)] = m.group(2)[:70]
 
         ctrl, states2, _ = vstep(params, states, obsb)
         jax.block_until_ready(ctrl)

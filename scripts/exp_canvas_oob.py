@@ -5,6 +5,12 @@ pre-merge adjacent equal-pid pairs (one masked elementwise pass) and mark
 the merged-away rows OOB — halving the effective update count per level.
 
 Run (TPU): python scripts/exp_canvas_oob.py
+
+MEASURED (v5e, 2026-08-18): 7.34 ms/iter at 0%, 50% AND 90% OOB — the
+flagged drop-mode emitter pays per ISSUED row whether or not it lands,
+so pre-merging sorted pairs (marking merged-away rows OOB) saves
+nothing.  The canvas emit is a ~7.6 ns/row floor at 16x60k rows; only
+genuinely fewer rows (point budget) can shrink it.  Verdict: no change.
 """
 import sys
 

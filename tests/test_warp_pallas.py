@@ -195,3 +195,46 @@ def test_conv2d_int8_consumes_prequantized(rng):
     np.testing.assert_allclose(
         np.asarray(y_int_in, np.float32),
         np.asarray(y_float_in.astype(jnp.float32)), atol=1e-2, rtol=1e-2)
+
+
+def test_q8_s2d_crop_conv_matches_plain_q8(rng):
+    """s2d-layout q8 crops + conv2d_int8_s2d == plain q8 crops +
+    conv2d_int8 (identical int32 accumulation, exact)."""
+    from lav_tpu.core.warp import crop_feature_shared
+    from lav_tpu.nn.quant import quantize_conv, conv2d_int8, conv2d_int8_s2d
+
+    nrng = np.random.default_rng(13)
+    K, H, C, crop, O = 3, 96, 128, 32, 32
+    img = jnp.asarray(nrng.normal(size=(H, H, C)), jnp.bfloat16)
+    locs = jnp.asarray(nrng.uniform(-8, 8, (K, 2)), jnp.float32)
+    oris = jnp.asarray(nrng.uniform(-3, 3, (K,)), jnp.float32)
+    scale = jnp.float32(
+        float(jnp.max(jnp.abs(img.astype(jnp.float32)))) / 127.0)
+    q = quantize_conv({"w": jnp.asarray(
+        nrng.normal(size=(7, 7, C, O)), jnp.float32),
+        "b": jnp.asarray(nrng.normal(size=(O,)), jnp.float32)})
+    q["x_scale"] = scale
+
+    kw = dict(pixels_per_meter=4.0, crop_size=crop, use_pallas=True,
+              pallas_interpret=True, q8_x_scale=scale)
+    plain = crop_feature_shared(img, locs, oris, **kw)
+    s2d = crop_feature_shared(img, locs, oris, q8_s2d=True, **kw)
+    assert s2d.shape == (K, crop // 2, crop // 2, 4 * C)
+
+    # the s2d layout round-trips to the plain crops; values may sit one
+    # quant step apart where the permuted matmul's f32 summation grouping
+    # flips a rounding boundary (same phenomenon as the posthoc test)
+    un = np.asarray(s2d).reshape(K, crop // 2, crop // 2, 2, 2, C)
+    un = un.transpose(0, 1, 3, 2, 4, 5).reshape(K, crop, crop, C)
+    diff = np.abs(un.astype(np.int32) - np.asarray(plain, np.int32))
+    assert diff.max() <= 1 and (diff > 0).mean() < 0.01
+
+    # conv on the s2d form == conv on the (un-s2d'd) plain form — same
+    # int32 accumulation given the same int8 inputs (exp_conv1.py proved
+    # element-exactness); feed the EXACT same values to isolate the conv
+    same_plain = jnp.asarray(un)
+    y_plain = conv2d_int8(q, same_plain, (2, 2), ((3, 3), (3, 3)), (1, 1))
+    y_s2d = conv2d_int8_s2d(q, s2d)
+    assert y_s2d.shape == y_plain.shape
+    np.testing.assert_array_equal(
+        np.asarray(y_s2d, np.float32), np.asarray(y_plain, np.float32))
