@@ -13,6 +13,7 @@ from __future__ import annotations
 from typing import List
 
 import jax
+import jax.numpy as jnp
 
 
 from lav_tpu.nn import layers as L
