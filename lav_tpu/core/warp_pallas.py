@@ -106,7 +106,8 @@ def supports(img_shape, out_hw, step_px: float, itemsize: int = 4) -> bool:
 
 
 def _kernel(starts_ref, fx_ref, fy_ref, inv_s_ref, src_ref, out_ref, *,
-            ngx: int, gs: int, unroll: bool, q8: bool, s2d: bool):
+            ngx: int, gs: int, unroll: bool, q8: bool, s2d: bool,
+            tsy: int = TSY, tsx: int = TSX):
     """One (batch, channel-block, crop) grid step: all output groups of one
     crop.  Refs arrive batched: starts (1,1,ng,2) SMEM, fx/fy (1,1,ng,GS*GS),
     inv_s (1,1) SMEM (int8 epilogue inverse scale; ignored unless q8),
@@ -122,32 +123,32 @@ def _kernel(starts_ref, fx_ref, fy_ref, inv_s_ref, src_ref, out_ref, *,
     dtype = src_ref.dtype
 
     def tile_at(ty, tx):
-        return src_ref[0, pl.ds(ty, TSY), pl.ds(tx, TSX), :]
+        return src_ref[0, pl.ds(ty, tsy), pl.ds(tx, tsx), :]
 
     ng = fx_ref.shape[2]
     GS = gs
 
     # hinge positions along each tile axis (f32, built once)
-    pos_y = jax.lax.broadcasted_iota(jnp.int32, (TSY, GS * GS), 0).astype(
+    pos_y = jax.lax.broadcasted_iota(jnp.int32, (tsy, GS * GS), 0).astype(
         jnp.float32
     )
-    pos_x = jax.lax.broadcasted_iota(jnp.int32, (TSX, GS * GS), 0).astype(
+    pos_x = jax.lax.broadcasted_iota(jnp.int32, (tsx, GS * GS), 0).astype(
         jnp.float32
     )
 
     def body(g, _):
         ty = starts_ref[0, 0, g, 0]
         tx = pl.multiple_of(starts_ref[0, 0, g, 1], 8)
-        tile = tile_at(ty, tx).reshape(TSY * TSX, CB)
+        tile = tile_at(ty, tx).reshape(tsy * tsx, CB)
 
         fx = fx_ref[0, 0, pl.ds(g, 1), :]  # (1, GS*GS) f32, rel to tile
         fy = fy_ref[0, 0, pl.ds(g, 1), :]
         # exact zero-pad bilinear: w(u) = max(0, 1 - |pos - u|); only the two
         # columns adjacent to each sample are nonzero, clamped edges get the
         # same partial weights as the XLA path
-        wx = jnp.maximum(0.0, 1.0 - jnp.abs(fx - pos_x))  # (TSX, GS*GS)
-        wy = jnp.maximum(0.0, 1.0 - jnp.abs(fy - pos_y))  # (TSY, GS*GS)
-        w = (wy[:, None, :] * wx[None, :, :]).reshape(TSY * TSX, GS * GS)
+        wx = jnp.maximum(0.0, 1.0 - jnp.abs(fx - pos_x))  # (tsx, GS*GS)
+        wy = jnp.maximum(0.0, 1.0 - jnp.abs(fy - pos_y))  # (tsy, GS*GS)
+        w = (wy[:, None, :] * wx[None, :, :]).reshape(tsy * tsx, GS * GS)
         # f32 sources need full-precision MXU passes: the default reduced
         # (bf16-pass) f32 matmul costs ~1.6e-2 abs error on unit-scale
         # features — far beyond the XLA path's rounding.  bf16 sources keep
@@ -213,11 +214,13 @@ def _s2d_group_order(gs: int):
 
 
 @functools.partial(
-    jax.jit, static_argnames=("cb", "gs", "interpret", "unroll", "q8", "s2d")
+    jax.jit, static_argnames=("cb", "gs", "interpret", "unroll", "q8", "s2d",
+                              "tsy", "tsx")
 )
 def _grid_sample_pallas_batched(img, grid, inv_s, cb: int, gs: int,
                                 interpret: bool, unroll: bool = True,
-                                q8: bool = False, s2d: bool = False):
+                                q8: bool = False, s2d: bool = False,
+                                tsy: int = TSY, tsx: int = TSX):
     """Natively batched core: img (B,H,W,C), grid (B,K,Ho,Wo,2) ->
     (B,K,Ho,Wo,C) over a (B, channel-blocks, K) sequential grid.
     inv_s: (1,1) f32 int8 epilogue inverse scale (ignored unless q8).
@@ -244,8 +247,8 @@ def _grid_sample_pallas_batched(img, grid, inv_s, cb: int, gs: int,
     # x starts aligned down to 8 (Mosaic dynamic sublane slices must be
     # aligned); the clip target W - TSX is not necessarily 8-aligned, so
     # align after the clip (alignment only lowers the start)
-    tx = (jnp.clip(jnp.min(x0, axis=-1), 0, W - TSX) // 8) * 8
-    ty = jnp.clip(jnp.min(y0, axis=-1), 0, H - TSY)
+    tx = (jnp.clip(jnp.min(x0, axis=-1), 0, W - tsx) // 8) * 8
+    ty = jnp.clip(jnp.min(y0, axis=-1), 0, H - tsy)
     starts = jnp.stack([ty, tx], axis=-1)                    # (B, K, ng, 2)
     fx = gx - tx[..., None].astype(jnp.float32)              # (B, K, ng, GS²)
     fy = gy - ty[..., None].astype(jnp.float32)
@@ -284,7 +287,7 @@ def _grid_sample_pallas_batched(img, grid, inv_s, cb: int, gs: int,
             (B, K, Ho, Wo, C), jnp.int8 if q8 else img.dtype)
     return pl.pallas_call(
         functools.partial(_kernel, ngx=ngx, gs=gs, unroll=unroll, q8=q8,
-                          s2d=s2d),
+                          s2d=s2d, tsy=tsy, tsx=tsx),
         grid=(B, ncb, K),
         in_specs=[
             pl.BlockSpec((1, 1, ng, 2), lambda b, c, k: (b, k, 0, 0),
@@ -327,11 +330,12 @@ def _pick_cb(C: int, H: int, W: int, Ho: int, Wo: int,
 
 @functools.lru_cache(maxsize=None)
 def _make_sampler(cb: int, gs: int, interpret: bool, q8: bool = False,
-                  s2d: bool = False):
+                  s2d: bool = False, tsy: int = TSY, tsx: int = TSX):
     @jax.custom_batching.custom_vmap
     def sample(img, grid, inv_s):
         out = _grid_sample_pallas_batched(img[None], grid[None], inv_s,
-                                          cb, gs, interpret, q8=q8, s2d=s2d)
+                                          cb, gs, interpret, q8=q8, s2d=s2d,
+                                          tsy=tsy, tsx=tsx)
         return out[0]
 
     @sample.def_vmap
@@ -350,11 +354,12 @@ def _make_sampler(cb: int, gs: int, interpret: bool, q8: bool = False,
             B, K, Ho, Wo, _ = grid.shape
             out = _grid_sample_pallas_batched(
                 img[None], grid.reshape(1, B * K, Ho, Wo, 2), inv_s, cb, gs,
-                interpret, q8=q8, s2d=s2d,
+                interpret, q8=q8, s2d=s2d, tsy=tsy, tsx=tsx,
             )
             return out.reshape(B, K, *out.shape[2:]), True
         return _grid_sample_pallas_batched(img, grid, inv_s, cb, gs,
-                                           interpret, q8=q8, s2d=s2d), True
+                                           interpret, q8=q8, s2d=s2d,
+                                           tsy=tsy, tsx=tsx), True
 
     return sample
 
@@ -427,28 +432,54 @@ def grid_sample_shared_pallas_q8(img, grid, x_scale, interpret: bool = False,
             f"grid_sample_shared_pallas_q8: img={img.shape} out=({Ho},{Wo}) "
             "fails supports(); route via crop_feature_shared"
         )
+    cb = _pick_cb(C, H, W, Ho, Wo, jnp.dtype(img.dtype).itemsize)
+    if s2d:
+        plan = _s2d_plan((H, W, C), (Ho, Wo), cb, step)
+        if plan is None:
+            raise ValueError("s2d crop layout ineligible here — check "
+                             "s2d_eligible() before requesting it")
+        gs, tsy, tsx = plan
+        inv = (1.0 / x_scale.astype(jnp.float32)).reshape(1, 1)
+        return _make_sampler(cb, gs, interpret, q8=True, s2d=True,
+                             tsy=tsy, tsx=tsx)(img, grid, inv)
     gs = _pick_gs(step) or 8
     if Ho % gs or Wo % gs:
         gs = 8
-    cb = _pick_cb(C, H, W, Ho, Wo, jnp.dtype(img.dtype).itemsize)
-    if s2d and (cb != C or gs % 2 or Ho % 2 or Wo % 2):
-        raise ValueError("s2d crop layout ineligible here — check "
-                         "s2d_eligible() before requesting it")
     inv = (1.0 / x_scale.astype(jnp.float32)).reshape(1, 1)
-    return _make_sampler(cb, gs, interpret, q8=True, s2d=s2d)(
-        img, grid, inv)
+    return _make_sampler(cb, gs, interpret, q8=True)(img, grid, inv)
+
+
+def _s2d_plan(img_shape, out_hw, cb, step):
+    """(gs, tsy, tsx) for the s2d emit, or None if ineligible.
+
+    int8 sub-tile stores need second-minor offsets that are multiples of
+    8, so the half-group edge must be 8 => gs = 16 always, with the
+    source tile ENLARGED to cover a 16-group's taps at this step (the
+    default 16x24 tile only covers steps <= ~0.61; a 32x32 tile covers
+    the detection crops' ~1.0 px/px).  Per-output matmul work actually
+    DROPS vs the gs=8 default (tsy*tsx/gs^2: 4 rows/output vs 6)."""
+    H, W, C = img_shape
+    Ho, Wo = out_hw
+    if cb != C or Ho % 16 or Wo % 16:
+        return None
+    import math
+
+    span = (16 - 1) * step * 1.4143 + 3.0
+    tsy = max(TSY, int(math.ceil(span)))
+    # x start is aligned DOWN to a multiple of 8: up to 7 columns of slack
+    tsx = max(TSX, int(-(-(span + 7) // 8) * 8))
+    if H < tsy or W < tsx:
+        return None
+    return 16, tsy, tsx
 
 
 def s2d_eligible(img_shape, out_hw, itemsize: int) -> bool:
     """Static check: can the q8 kernel emit the s2d layout for this crop?
-    (full-C channel block, even group size, even output dims)."""
+    (full-C channel block, gs=16 tile fits the source — see _s2d_plan)."""
     H, W, C = img_shape
     Ho, Wo = out_hw
     step = (Ho / H) * (H - 1) / max(Ho - 1, 1)
     if not supports(img_shape, out_hw, step, itemsize):
         return False
-    gs = _pick_gs(step) or 8
-    if Ho % gs or Wo % gs:
-        gs = 8
     cb = _pick_cb(C, H, W, Ho, Wo, itemsize)
-    return cb == C and gs % 2 == 0 and Ho % 2 == 0 and Wo % 2 == 0
+    return _s2d_plan(img_shape, out_hw, cb, step) is not None
