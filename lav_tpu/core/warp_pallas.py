@@ -136,7 +136,7 @@ def _kernel(starts_ref, fx_ref, fy_ref, inv_s_ref, src_ref, out_ref, *,
         jnp.float32
     )
 
-    def body(g, _):
+    def acc_for(g):
         ty = starts_ref[0, 0, g, 0]
         tx = pl.multiple_of(starts_ref[0, 0, g, 1], 8)
         tile = tile_at(ty, tx).reshape(tsy * tsx, CB)
@@ -166,37 +166,77 @@ def _kernel(starts_ref, fx_ref, fy_ref, inv_s_ref, src_ref, out_ref, *,
             # the quant path's round(crop / x_scale) with one fewer bf16
             # rounding (the intermediate crop tensor never exists)
             acc = jnp.clip(jnp.round(acc * inv_s_ref[0, 0]), -127.0, 127.0)
-        if s2d:
-            # space-to-depth emit: the caller ordered this group's GS*GS
-            # output positions PHASE-MAJOR ((dy,dx) of each 2x2 block
-            # first — see _s2d_group_order), so each phase is a contiguous
-            # (GS/2)^2-row slab of acc and the crop lands directly in the
-            # (Ho/2, Wo/2, 4*C) layout the stride-1 int8 conv1 wants —
-            # the XLA transpose this replaces cost 5.8 ms/tick
-            # (scripts/exp_conv1.py)
-            g2 = GS // 2
-            oy = pl.multiple_of((g // ngx) * g2, g2)
-            ox = pl.multiple_of((g % ngx) * g2, g2)
+        return acc
+
+    g2 = GS // 2
+    if s2d and g2 % 8:
+        # space-to-depth emit, QUAD mode: int8 sub-tile stores need
+        # second-minor offsets that are multiples of 8, and a single
+        # gs=8 group's phase slab is only g2=4 wide.  Process a 2x2
+        # group quad per iteration (same tiles, same per-output matmul
+        # and hinge-build cost as the plain path — an ENLARGED-tile
+        # gs=16 variant was measured 2x slower: the dense hinge-weight
+        # build scales with tile_rows x group_size) and store each
+        # phase as one aligned (gs, gs) block.  Caller guarantees
+        # ngy/ngx even (_s2d_plan).
+        nqx = ngx // 2
+        n = g2 * g2
+
+        def body(qi, _):
+            qy, qx = qi // nqx, qi % nqx
+            accs = [acc_for((2 * qy + a) * ngx + (2 * qx + b))
+                    for a in (0, 1) for b in (0, 1)]
+            oy = pl.multiple_of(qy * GS, 8)
+            ox = pl.multiple_of(qx * GS, 8)
+            for p in range(4):
+                blks = [a[p * n:(p + 1) * n].reshape(g2, g2, CB)
+                        for a in accs]
+                blk = jnp.concatenate(
+                    [jnp.concatenate([blks[0], blks[1]], axis=1),
+                     jnp.concatenate([blks[2], blks[3]], axis=1)], axis=0)
+                out_ref[0, 0, pl.ds(oy, GS), pl.ds(ox, GS),
+                        p * CB:(p + 1) * CB] = blk.astype(out_ref.dtype)
+            return 0
+
+        n_units = ng // 4
+    elif s2d:
+        # space-to-depth emit, direct mode (g2 is already 8-aligned):
+        # the caller ordered each group's GS*GS output positions
+        # PHASE-MAJOR (_s2d_group_order), so each phase is a contiguous
+        # (GS/2)^2-row slab of acc and the crop lands directly in the
+        # (Ho/2, Wo/2, 4*C) layout the stride-1 int8 conv1 wants — the
+        # XLA transpose this replaces cost 5.8 ms/tick (exp_conv1.py)
+        def body(g, _):
+            acc = acc_for(g)
+            oy = pl.multiple_of((g // ngx) * g2, 8)
+            ox = pl.multiple_of((g % ngx) * g2, 8)
             for p in range(4):
                 out_ref[0, 0, pl.ds(oy, g2), pl.ds(ox, g2),
                         p * CB:(p + 1) * CB] = (
                     acc[p * g2 * g2:(p + 1) * g2 * g2]
                     .reshape(g2, g2, CB).astype(out_ref.dtype))
             return 0
-        # the ox write offset lands on the sublane dim of the output block —
-        # Mosaic needs the same alignment hint as the tile reads
-        oy = pl.multiple_of((g // ngx) * GS, GS)
-        ox = pl.multiple_of((g % ngx) * GS, GS)
-        out_ref[0, 0, pl.ds(oy, GS), pl.ds(ox, GS), :] = acc.reshape(
-            GS, GS, CB
-        ).astype(out_ref.dtype)
-        return 0
+
+        n_units = ng
+    else:
+        def body(g, _):
+            acc = acc_for(g)
+            # the ox write offset lands on the sublane dim of the output
+            # block — Mosaic needs the same alignment hint as tile reads
+            oy = pl.multiple_of((g // ngx) * GS, GS)
+            ox = pl.multiple_of((g % ngx) * GS, GS)
+            out_ref[0, 0, pl.ds(oy, GS), pl.ds(ox, GS), :] = acc.reshape(
+                GS, GS, CB
+            ).astype(out_ref.dtype)
+            return 0
+
+        n_units = ng
 
     # full unroll is worth 2.3x at agent shapes (ng=144), but Mosaic only
     # supports unroll in {1, ng} and very large unrolled bodies (ng>=576,
     # the 192px BEV teacher crops) crash the compiler — cap it
-    jax.lax.fori_loop(0, ng, body, 0,
-                      unroll=ng if (unroll and ng <= 300) else 1)
+    jax.lax.fori_loop(0, n_units, body, 0,
+                      unroll=n_units if (unroll and n_units <= 300) else 1)
 
 
 def _s2d_group_order(gs: int):
@@ -452,25 +492,24 @@ def grid_sample_shared_pallas_q8(img, grid, x_scale, interpret: bool = False,
 def _s2d_plan(img_shape, out_hw, cb, step):
     """(gs, tsy, tsx) for the s2d emit, or None if ineligible.
 
-    int8 sub-tile stores need second-minor offsets that are multiples of
-    8, so the half-group edge must be 8 => gs = 16 always, with the
-    source tile ENLARGED to cover a 16-group's taps at this step (the
-    default 16x24 tile only covers steps <= ~0.61; a 32x32 tile covers
-    the detection crops' ~1.0 px/px).  Per-output matmul work actually
-    DROPS vs the gs=8 default (tsy*tsx/gs^2: 4 rows/output vs 6)."""
+    Same group/tile selection as the plain path (an ENLARGED-tile gs=16
+    variant was measured 2x slower — the dense hinge-weight build scales
+    with tile_rows x group_size).  int8 sub-tile stores need 8-aligned
+    second-minor offsets: at gs=16 the phase slab is already 8 wide
+    (direct mode); at gs=8 the kernel processes 2x2 group QUADS and
+    stores 8-wide combined blocks, which needs even group counts."""
     H, W, C = img_shape
     Ho, Wo = out_hw
-    if cb != C or Ho % 16 or Wo % 16:
+    if cb != C:
         return None
-    import math
-
-    span = (16 - 1) * step * 1.4143 + 3.0
-    tsy = max(TSY, int(math.ceil(span)))
-    # x start is aligned DOWN to a multiple of 8: up to 7 columns of slack
-    tsx = max(TSX, int(-(-(span + 7) // 8) * 8))
-    if H < tsy or W < tsx:
+    gs = _pick_gs(step) or 8
+    if Ho % gs or Wo % gs:
+        gs = 8
+    if Ho % gs or Wo % gs:
         return None
-    return 16, tsy, tsx
+    if gs % 16 and ((Ho // gs) % 2 or (Wo // gs) % 2):
+        return None  # quad mode needs even ngy/ngx
+    return gs, TSY, TSX
 
 
 def s2d_eligible(img_shape, out_hw, itemsize: int) -> bool:
