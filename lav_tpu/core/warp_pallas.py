@@ -303,7 +303,12 @@ def _grid_sample_pallas_batched(img, grid, inv_s, cb: int, gs: int,
     # amortized over K crops x ng output groups
     single_buf = 2 * (src_bytes + out_bytes) > _PIPE_BUDGET
     src_bufs = 1 if single_buf else 2
-    vmem_bytes = min(src_bufs * src_bytes + 2 * out_bytes + (1 << 22),
+    # the fully-unrolled s2d quad body keeps 4 group accumulators + phase
+    # blocks live across iterations — its scoped stack measured 64.7 MB
+    # at agent shapes (v5e has 128 MB physical; a tight limit is only
+    # needed when the pipelined windows themselves are big)
+    slack = (70 << 20) if s2d else (1 << 22)
+    vmem_bytes = min(src_bufs * src_bytes + 2 * out_bytes + slack,
                      120 << 20)
     ncb = C // cb
 
