@@ -550,9 +550,16 @@ def uniplanner_infer(params, cfg: LAVConfig, features, det, cmd, nxp,
         # conv2d_int8 consumes the int8 crops as-is
         c1 = params["lidar_conv_emb"].get("conv1", {})
         q8s = c1["x_scale"] if ("w_int8" in c1 and "x_scale" in c1) else None
-        # s2d: crops arrive as (K+1, crop/2, crop/2, 4C) int8 and conv1
-        # runs as the 94%-of-peak 4x4 stride-1 form (quant.conv2d_int8_s2d)
-        q8_s2d = q8s is not None and cfg.crop_size % 2 == 0
+        # LAV_S2D_CROPS=1: crops arrive as (K+1, crop/2, crop/2, 4C) int8
+        # and conv1 runs as the 94%-of-peak 4x4 stride-1 form
+        # (quant.conv2d_int8_s2d; 5.01 vs 7.36 ms standalone,
+        # exp_conv1.py).  OFF by default: in the full agent the kernel's
+        # s2d emit costs MORE than the conv saves — the phase regrouping
+        # is sub-vreg row shuffles (quad mode, the cheapest of two
+        # measured forms: pallas class 4.41 -> 7.19 ms vs conv
+        # 24.8 -> 22.9; 298.9 -> 294.3 steps/s end to end).
+        q8_s2d = (q8s is not None and cfg.crop_size % 2 == 0
+                  and os.environ.get("LAV_S2D_CROPS", "0") == "1")
         crop_all = crop_feature_shared(
             features, all_locs, all_oris,
             pixels_per_meter=ppm / 2, crop_size=cfg.crop_size,

@@ -9,6 +9,16 @@ In-graph: bf16 7x7s2 = 9.33 ms (77% bf16 peak), int8 7x7s2 = 7.36 ms
 bf16 7x7s2 as the reference point.  Pure conv (epilogues excluded).
 
 Run (TPU): python scripts/exp_conv1.py
+
+MEASURED (v5e, 2026-08-18): bf16 7x7s2 9.29 ms, int8 7x7s2 7.36, int8
+s2d 4x4s1 10.84 = 5.01 conv (94% of int8 peak) + 5.83 XLA transpose.
+The transpose was then fused into the Pallas crop kernel's epilogue
+(q8_s2d; phase-major matmul column order) in two forms — enlarged-tile
+gs=16 (pallas class 4.41 -> 8.51 ms: dense hinge build scales with
+tile_rows x group_size) and 2x2-group quad emit (4.41 -> 7.19: sub-vreg
+phase regrouping) — BOTH net losses in the full agent (298.9 -> 294.3
+steps/s for quad).  Verdict: plain q8 crops + direct int8 7x7s2 conv1
+stay the default; s2d kept behind LAV_S2D_CROPS=1.
 """
 import sys
 
