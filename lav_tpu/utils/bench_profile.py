@@ -19,6 +19,9 @@ def main():
     p.add_argument("--num-ego", type=int, default=16)
     p.add_argument("--quant", default=None,
                    help="int8 scope as bench.py BENCH_INT8 (e.g. 'mxu')")
+    p.add_argument("--dump", default=None,
+                   help="write the FULL per-op table (name/ms/kind/src/"
+                        "shape) as JSON to this path")
     args = p.parse_args()
 
     from __graft_entry__ import _v2_agent_setup
@@ -107,6 +110,16 @@ def main():
             print(f"  {us / iters / 1000:8.3f}  {name[:44]:46s}"
                   f" {kind:8s} {where:24s} {scope.get(name, '')}")
         print(f"trace written to {d}")
+        if args.dump:
+            rows = [
+                {"ms": round(us / iters / 1000, 4), "name": name,
+                 "kind": fk.get(name, ""), "src": src.get(name, ""),
+                 "shape": scope.get(name, "")}
+                for name, us in sorted(durs.items(), key=lambda kv: -kv[1])
+            ]
+            with open(args.dump, "w") as f:
+                json.dump(rows, f, indent=0)
+            print(f"full table ({len(rows)} ops) -> {args.dump}")
 
 
 if __name__ == "__main__":

@@ -269,3 +269,45 @@ def test_int8_calibrated_static_scales_shifted_streams():
         assert d[:, 0].max() < 0.05, f"{name} steer dev {d[:, 0].max()}"
         assert d[:, 1].max() < 0.05, f"{name} throttle dev {d[:, 1].max()}"
         assert (tf[:, 2] != tq[:, 2]).mean() <= 0.10, name
+
+
+def test_calib_scale_cache_roundtrip(tmp_path, monkeypatch):
+    """The calibration disk cache (the eager replay costs ~13 min of every
+    bench run for deterministic results) must key on the quantized weight
+    tree and round-trip scales exactly; a changed tree must miss."""
+    import __graft_entry__ as ge
+
+    monkeypatch.setenv("LAV_CALIB_CACHE_DIR", str(tmp_path))
+    monkeypatch.setenv("LAV_CALIB_CACHE", "1")
+    tree = {
+        "a": {"w_int8": np.zeros((3, 3, 4, 8), np.int8),
+              "w_scale": np.arange(8, dtype=np.float32) + 1.0},
+        "nest": [{"b": {"w_int8": np.ones((1, 1, 2, 4), np.int8),
+                        "w_scale": np.full(4, 0.5, np.float32)}}],
+        "plain": {"w": np.zeros((2, 2))},
+    }
+    cfg, img_hw, n = "cfgrepr", (32, 32), 2
+    c1 = ge._calib_cache_lookup(tree, cfg, img_hw, n)
+    assert c1["scales"] is None  # cold miss
+    tree["a"]["x_scale"] = jnp.float32(0.125)
+    tree["nest"][0]["b"]["x_scale"] = jnp.float32(2.0)
+    ge._calib_cache_store(c1["path"], tree)
+
+    fresh = {
+        "a": {"w_int8": tree["a"]["w_int8"], "w_scale": tree["a"]["w_scale"]},
+        "nest": [{"b": {"w_int8": tree["nest"][0]["b"]["w_int8"],
+                        "w_scale": tree["nest"][0]["b"]["w_scale"]}}],
+        "plain": {"w": np.zeros((2, 2))},
+    }
+    c2 = ge._calib_cache_lookup(fresh, cfg, img_hw, n)
+    assert c2["scales"] is not None  # warm hit
+    ge._apply_scale_map(fresh, c2["scales"])
+    assert float(fresh["a"]["x_scale"]) == 0.125
+    assert float(fresh["nest"][0]["b"]["x_scale"]) == 2.0
+
+    # different weights (w_scale image) -> different key -> miss
+    fresh["a"]["w_scale"] = fresh["a"]["w_scale"] * 2
+    assert ge._calib_cache_lookup(fresh, cfg, img_hw, n)["scales"] is None
+    # disabled -> None
+    monkeypatch.setenv("LAV_CALIB_CACHE", "0")
+    assert ge._calib_cache_lookup(fresh, cfg, img_hw, n) is None
