@@ -6,6 +6,13 @@ steps/sec/chip (BASELINE.md).  Each "step" is one complete agent tick:
 3-camera ERFNet segmentation, on-device point painting, temporal pillar
 perception (320x320 canvas), masked peak detection, multi-modal
 cast/plan GRU rollouts, EKF + PID control — vmapped over NUM_EGO vehicles.
+
+Ordering contract (VERDICT r4 #1, third consecutive ask): everything the
+JSON line depends on is measured FIRST and the line prints the moment the
+throughput + p50 + (budget-permitting) numerics guard exist.  Enrichments
+— roofline, single-ego device latency — run only when the remaining
+deadline budget allows, and write to stderr + artifacts/bench_extras.json,
+never to stdout (the driver parses stdout for the one line).
 """
 
 import functools
@@ -32,6 +39,28 @@ ITERS = int(os.environ.get("BENCH_ITERS", "20"))
 # hard cap is 20,000 -> 120,000 stacked (BENCH_MAX_POINTS=20000).
 MAX_POINTS = int(os.environ.get("BENCH_MAX_POINTS", "10000"))
 BASELINE_STEPS_PER_SEC = 500.0
+# total wall budget: the driver kills the bench at an unpublished timeout
+# (BENCH_r02 passed at ~+170s; BENCH_r04 died somewhere past ~+300s) —
+# budget conservatively and let extras self-cancel
+DEADLINE_S = float(os.environ.get("BENCH_DEADLINE_S", "300"))
+# a probe slower than this means the tunnel is degraded (normal ~2 s,
+# BENCH_r04 measured 88 s at ~19 MB/s): skip everything optional
+PROBE_DEGRADED_S = 15.0
+
+_T0 = time.perf_counter()
+
+
+def _elapsed():
+    return time.perf_counter() - _T0
+
+
+def _remaining():
+    return DEADLINE_S - _elapsed()
+
+
+def log(msg):
+    print(f"[bench +{_elapsed():.1f}s] {msg}", file=sys.stderr, flush=True)
+
 
 _PROBE_SRC = """
 import time, sys
@@ -46,7 +75,7 @@ print(f"PROBE_OK {time.perf_counter() - t0:.2f}")
 """
 
 
-def probe_backend(timeout_s=420):
+def probe_backend(timeout_s=150):
     """Touch the TPU from a SUBPROCESS with a hard timeout before the main
     process commits to it.  The remote tunnel has two failure modes this
     catches (CLAUDE.md round-3 lore): backend init raising UNAVAILABLE, and
@@ -78,7 +107,11 @@ def numerics_guard(max_points):
     bench re-verifies the three production segment ops — blocked
     segmented mean, scatter segmented mean, drop-mode canvas scatter-max
     (exactly as featurize builds them, incl. flags) — against the CPU
-    backend every run and reports `numerics` in the JSON line."""
+    backend every run and reports `numerics` in the JSON line.
+
+    All three checks live in ONE jitted program per backend (one TPU
+    compile + one CPU compile) so the guard stays off the deadline's
+    critical path as much as possible."""
     from lav_tpu.ops.pillar import (
         _segment_mean_gather, _segment_mean_sorted,
     )
@@ -94,11 +127,6 @@ def numerics_guard(max_points):
     a_xyz = jnp.asarray(xyz, jnp.bfloat16)
     a_feat = jnp.asarray(feat, jnp.bfloat16)
 
-    mean_blocked = jax.jit(jax.vmap(lambda p, v, k: _segment_mean_sorted(
-        v, p, k).astype(jnp.float32)))
-    mean_scatter = jax.jit(jax.vmap(lambda p, v, k: _segment_mean_gather(
-        v, p, k, G + 1).astype(jnp.float32)))
-
     def canvas_rowsum(p, v):
         # the featurize() emit form: zero-init canvas, OOB ids dropped,
         # sorted flag as shipped; reduced to per-row L1 so the guard
@@ -108,18 +136,24 @@ def numerics_guard(max_points):
             v, mode="drop", indices_are_sorted=True)
         return jnp.sum(jnp.abs(cv.astype(jnp.float32)), -1)
 
-    canvas = jax.jit(jax.vmap(canvas_rowsum))
+    @jax.jit
+    def combined(p, v, k, f):
+        return (
+            jax.vmap(lambda pi, vi, ki: _segment_mean_sorted(
+                vi, pi, ki).astype(jnp.float32))(p, v, k),
+            jax.vmap(lambda pi, vi, ki: _segment_mean_gather(
+                vi, pi, ki, G + 1).astype(jnp.float32))(p, v, k),
+            jax.vmap(canvas_rowsum)(p, f),
+        )
 
+    tpu_out = jax.tree.map(np.asarray, combined(a_pid, a_xyz, a_keep, a_feat))
+    with jax.default_device(jax.devices("cpu")[0]):
+        cpu_out = jax.tree.map(np.asarray,
+                               combined(a_pid, a_xyz, a_keep, a_feat))
     out = {}
     ok = True
-    for name, fn, args in (
-        ("mean_blocked", mean_blocked, (a_pid, a_xyz, a_keep)),
-        ("mean_scatter", mean_scatter, (a_pid, a_xyz, a_keep)),
-        ("canvas_max", canvas, (a_pid, a_feat)),
-    ):
-        tpu = np.asarray(fn(*args))
-        with jax.default_device(jax.devices("cpu")[0]):
-            cpu = np.asarray(fn(*args))
+    for name, tpu, cpu in zip(
+            ("mean_blocked", "mean_scatter", "canvas_max"), tpu_out, cpu_out):
         err = float(np.max(np.abs(tpu - cpu)))
         out[name] = round(err, 5)
         # bf16 rounding across backends stays well under 0.1; a dropped
@@ -139,120 +173,47 @@ def emit_error(err, probe_s=None):
         "vs_baseline": 0.0,
         "error": str(err)[:2000],
         "probe_roundtrip_s": probe_s,
-    }))
+    }), flush=True)
 
 
-def main():
-    sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
-    import jax.numpy as jnp
-
-    from __graft_entry__ import _v2_agent_setup
-
-    probe_s, probe_err = probe_backend()
-    if probe_err is not None:
-        print(f"[bench] backend probe failed: {probe_err}", file=sys.stderr)
-        emit_error(f"TPU backend probe failed: {probe_err}")
-        return
-    print(f"[bench] backend probe ok: 8MB up + matmul + 16MB down in "
-          f"{probe_s:.2f}s", file=sys.stderr)
-
-    dtype = None if os.environ.get("BENCH_F32") else jnp.bfloat16
-    use_pallas = bool(os.environ.get("BENCH_PALLAS"))
-    # BENCH_INT8=mxu (default) quantizes the MXU-bound conv stacks (lidar
-    # backbone + planner crop resnet: 206.9 vs 202.8 steps/s, policy
-    # parity bounded by the 100-tick oracle in tests/test_quant.py);
-    # BENCH_INT8=1 quantizes every stack (measured net-zero);
-    # BENCH_INT8=0 runs pure bf16.  BENCH_F32 alone means PURE f32 —
-    # int8 must be asked for explicitly there.
-    quant = os.environ.get("BENCH_INT8",
-                           "0" if os.environ.get("BENCH_F32") else "mxu")
-    quant = False if quant in ("0", "", "false") else quant
-
-    numerics = None
-    try:
-        numerics = numerics_guard(MAX_POINTS)
-        print(f"[bench] numerics guard: {numerics}", file=sys.stderr,
-              flush=True)
-    except Exception as e:
-        print(f"[bench] numerics guard failed: {e!r}", file=sys.stderr)
-
-    step, params, state0, obs0, info = _v2_agent_setup(
-        max_points=MAX_POINTS, compute_dtype=dtype, use_pallas=use_pallas,
-        quant_int8=quant,
-    )
-
-    # batch the whole agent over an ego axis
-    states = jax.tree.map(lambda x: jnp.stack([x] * NUM_EGO), state0)
-    obs = jax.tree.map(lambda x: jnp.stack([x] * NUM_EGO), obs0)
-
-    vstep = jax.vmap(step, in_axes=(None, 0, 0))
-
-    # donate the state buffers: the ring buffers (~7.9 MB/ego) alias
-    # in-place instead of copying every tick
-    @functools.partial(jax.jit, donate_argnums=(1,))
-    def tick(params, states, obs):
-        ctrl, new_states, _ = vstep(params, states, obs)
-        return ctrl, new_states
-
-    def log(msg):
-        print(f"[bench +{time.perf_counter() - t_start:.1f}s] {msg}",
-              file=sys.stderr, flush=True)
-
-    t_start = time.perf_counter()
-    lowered = tick.lower(params, states, obs)
-    log("traced/lowered")
-    compiled = lowered.compile()
-    log("compiled")
-
-    # warmup
-    for _ in range(WARMUP):
-        ctrl, states = compiled(params, states, obs)
-    jax.block_until_ready(ctrl)
-    log("warmed up")
-    tick = compiled
-
-    # throughput: pipelined (no per-iteration sync)
-    t0 = time.perf_counter()
-    for _ in range(ITERS):
-        ctrl, states = tick(params, states, obs)
-    jax.block_until_ready(ctrl)
-    dt = time.perf_counter() - t0
-    steps_per_sec = NUM_EGO * ITERS / dt
-
-    # latency: synchronized per tick
-    lat = []
-    for _ in range(max(ITERS // 2, 3)):
-        t1 = time.perf_counter()
-        ctrl, states = tick(params, states, obs)
-        jax.block_until_ready(ctrl)
-        lat.append(time.perf_counter() - t1)
-    p50 = sorted(lat)[len(lat) // 2]
+def run_extras(compiled, step, params, states, obs, result):
+    """Enrichments that the JSON line does NOT depend on: roofline trace
+    + single-ego device latency.  Written to stderr and
+    artifacts/bench_extras.json; stdout stays one-line clean."""
+    extras = {"measured_at_steps_per_sec": result["value"]}
 
     # roofline block (VERDICT r2 weak-4): per-op-class device time from a
     # real trace + achieved-vs-peak from the compiled cost analysis, so the
     # perf claim is self-auditing rather than narrative
-    roofline = None
     try:
         from lav_tpu.utils.roofline import roofline_summary
 
         holder = {"s": states}
 
         def run_once():
-            ctrl, holder["s"] = tick(params, holder["s"], obs)
+            ctrl, holder["s"] = compiled(params, holder["s"], obs)
             jax.block_until_ready(ctrl)
 
         roofline = roofline_summary(compiled, run_once, iters=4)
         states = holder["s"]
+        extras["roofline"] = roofline
         log(f"roofline: {roofline['classes_ms']}")
-    except Exception as e:  # bench must still print its line on any failure
+    except Exception as e:
         log(f"roofline failed: {e!r}")
 
     # single-ego synchronous tick: what a live 20 Hz CARLA deployment sees
-    # (budget 50 ms, /root/reference/config.yaml:4)
+    # (budget 50 ms, /root/reference/config.yaml:4).  Costs a second full
+    # compile — only attempted when >=120 s of budget remain.
+    if _remaining() < 120:
+        log(f"skipping single-ego (remaining {_remaining():.0f}s < 120s)")
+        _write_extras(extras)
+        return
+
     @functools.partial(jax.jit, donate_argnums=(1,))
     def tick1(params, state, ob):
         ctrl, new_state, _ = step(params, state, ob)
         return ctrl, new_state
+
     state1 = jax.tree.map(lambda x: x[0], states)
     obs1 = jax.tree.map(lambda x: x[0], obs)
     tick1c = tick1.lower(params, state1, obs1).compile()
@@ -282,8 +243,8 @@ def main():
         p50_1 = None
     # synchronized wall-clock beside it (VERDICT r3 weak-5): through the
     # remote tunnel this includes ~26 ms RTT per sync, so it OVERSTATES
-    # locally-attached deployment latency — both numbers go in the JSON
-    # with the caveat machine-readable
+    # locally-attached deployment latency — both numbers recorded with the
+    # caveat machine-readable
     lat1 = []
     for _ in range(max(ITERS, 10)):
         t1 = time.perf_counter()
@@ -294,6 +255,139 @@ def main():
     dev_ms = f"{p50_1 * 1000:.2f}" if p50_1 is not None else "n/a"
     log(f"single-ego device {dev_ms} ms/tick, "
         f"wall {p50_1_wall * 1000:.2f} ms (incl. tunnel RTT)")
+    extras["p50_single_ego_device_ms"] = (
+        round(p50_1 * 1000, 2) if p50_1 is not None else None)
+    extras["p50_single_ego_wall_ms"] = round(p50_1_wall * 1000, 2)
+    extras["wall_ms_caveat"] = ("includes remote-tunnel dispatch RTT; "
+                                "device_ms is the locally-attached compute "
+                                "story")
+    # CARLA deployment gate (/root/reference/config.yaml:4): a throughput
+    # win must not push the synchronous tick past the 20 Hz budget
+    if p50_1 is not None:
+        extras["within_carla_50ms_budget"] = bool(p50_1 * 1000 < 50.0)
+        if not extras["within_carla_50ms_budget"]:
+            log(f"WARNING: single-ego device {dev_ms} ms exceeds the 50 ms "
+                "CARLA budget")
+    _write_extras(extras)
+
+
+def _write_extras(extras):
+    try:
+        d = os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                         "artifacts")
+        os.makedirs(d, exist_ok=True)
+        with open(os.path.join(d, "bench_extras.json"), "w") as f:
+            json.dump(extras, f, indent=1)
+        log("extras written to artifacts/bench_extras.json")
+    except Exception as e:
+        log(f"extras write failed: {e!r}")
+
+
+def main():
+    sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+    import jax.numpy as jnp
+
+    from __graft_entry__ import _v2_agent_setup
+
+    probe_s, probe_err = probe_backend(timeout_s=min(150, DEADLINE_S * 0.5))
+    if probe_err is not None:
+        print(f"[bench] backend probe failed: {probe_err}", file=sys.stderr)
+        emit_error(f"TPU backend probe failed: {probe_err}")
+        return
+    degraded = probe_s > PROBE_DEGRADED_S
+    log(f"backend probe ok: 8MB up + matmul + 16MB down in {probe_s:.2f}s"
+        + (" — DEGRADED, extras disabled" if degraded else ""))
+
+    dtype = None if os.environ.get("BENCH_F32") else jnp.bfloat16
+    use_pallas = bool(os.environ.get("BENCH_PALLAS"))
+    # BENCH_INT8=mxu (default) quantizes the MXU-bound conv stacks (lidar
+    # backbone + planner crop resnet: 206.9 vs 202.8 steps/s, policy
+    # parity bounded by the 100-tick oracle in tests/test_quant.py);
+    # BENCH_INT8=1 quantizes every stack (measured net-zero);
+    # BENCH_INT8=0 runs pure bf16.  BENCH_F32 alone means PURE f32 —
+    # int8 must be asked for explicitly there.
+    quant = os.environ.get("BENCH_INT8",
+                           "0" if os.environ.get("BENCH_F32") else "mxu")
+    quant = False if quant in ("0", "", "false") else quant
+
+    # setup NEVER recalibrates inside the bench window: a calib-cache miss
+    # costs ~13-20 min of eager CPU replay, a guaranteed driver timeout.
+    # The committed artifacts/calib/ fallback covers the default config;
+    # anything else falls back to bf16 with the reason in the JSON.
+    step, params, state0, obs0, info = _v2_agent_setup(
+        max_points=MAX_POINTS, compute_dtype=dtype, use_pallas=use_pallas,
+        quant_int8=quant, allow_recalibrate=False,
+    )
+    log(f"setup done on host (quant={info['quant']})")
+
+    # ship the host-built trees to the device in ONE transfer each and
+    # stack the ego axis ON DEVICE: stacking on host would push
+    # NUM_EGO x (~7.9 MB state + ~2.7 MB obs) through the tunnel (~170 MB;
+    # unsurvivable when it degrades to <1 MB/s) instead of ~11 MB
+    dev = jax.devices()[0]
+    mb = sum(x.nbytes for x in jax.tree.leaves((params, state0, obs0))) / 1e6
+    params, state0, obs0 = jax.device_put((params, state0, obs0), dev)
+    jax.block_until_ready(state0)
+    log(f"{mb:.0f} MB shipped to {dev.platform}")
+    stack = jax.jit(
+        lambda t: jax.tree.map(lambda x: jnp.stack([x] * NUM_EGO), t))
+    states = stack(state0)
+    obs = stack(obs0)
+
+    vstep = jax.vmap(step, in_axes=(None, 0, 0))
+
+    # donate the state buffers: the ring buffers (~7.9 MB/ego) alias
+    # in-place instead of copying every tick
+    @functools.partial(jax.jit, donate_argnums=(1,))
+    def tick(params, states, obs):
+        ctrl, new_states, _ = vstep(params, states, obs)
+        return ctrl, new_states
+
+    lowered = tick.lower(params, states, obs)
+    log("traced/lowered")
+    compiled = lowered.compile()
+    log("compiled")
+
+    # warmup
+    for _ in range(WARMUP):
+        ctrl, states = compiled(params, states, obs)
+    jax.block_until_ready(ctrl)
+    log("warmed up")
+    tick_c = compiled
+
+    # throughput: pipelined (no per-iteration sync)
+    t0 = time.perf_counter()
+    for _ in range(ITERS):
+        ctrl, states = tick_c(params, states, obs)
+    jax.block_until_ready(ctrl)
+    dt = time.perf_counter() - t0
+    steps_per_sec = NUM_EGO * ITERS / dt
+
+    # latency: synchronized per tick
+    lat = []
+    for _ in range(max(ITERS // 2, 3)):
+        t1 = time.perf_counter()
+        ctrl, states = tick_c(params, states, obs)
+        jax.block_until_ready(ctrl)
+        lat.append(time.perf_counter() - t1)
+    p50 = sorted(lat)[len(lat) // 2]
+    log(f"measured: {steps_per_sec:.2f} steps/s, p50 {p50 * 1000:.1f} ms")
+
+    # numerics guard: the one extra the number's integrity depends on
+    # (round-4 miscompile lore) — run it bounded, skip with the reason
+    # recorded rather than risk the line
+    numerics = None
+    if degraded:
+        numerics = {"skipped": f"degraded tunnel (probe {probe_s:.1f}s)"}
+    elif _remaining() < 45:
+        numerics = {"skipped": f"deadline ({_remaining():.0f}s remaining)"}
+    else:
+        try:
+            numerics = numerics_guard(MAX_POINTS)
+            log(f"numerics guard: {numerics}")
+        except Exception as e:
+            numerics = {"skipped": f"guard failed: {e!r}"[:300]}
+            log(f"numerics guard failed: {e!r}")
 
     out = {
         "metric": "v2_fused_agent_steps_per_sec_per_chip",
@@ -301,11 +395,6 @@ def main():
         "unit": "steps/s",
         "vs_baseline": round(steps_per_sec / BASELINE_STEPS_PER_SEC, 3),
         "p50_tick_latency_ms": round(p50 * 1000, 2),
-        "p50_single_ego_device_ms":
-            round(p50_1 * 1000, 2) if p50_1 is not None else None,
-        "p50_single_ego_wall_ms": round(p50_1_wall * 1000, 2),
-        "wall_ms_caveat": "includes remote-tunnel dispatch RTT; "
-                          "device_ms is the locally-attached compute story",
         "probe_roundtrip_s": probe_s,
         "num_ego": NUM_EGO,
         "max_points": MAX_POINTS,
@@ -316,8 +405,6 @@ def main():
     }
     if numerics is not None:
         out["numerics"] = numerics
-    if roofline is not None:
-        out["roofline"] = roofline
     try:
         # ground the operating point: derived sweep budgets from the
         # deployed sensor spec (utils/point_budget.py, VERDICT r2 weak-2).
@@ -332,7 +419,17 @@ def main():
         }
     except Exception:
         pass
-    print(json.dumps(out))
+    # THE line — everything after this is optional enrichment
+    print(json.dumps(out), flush=True)
+    log("JSON line emitted")
+
+    if degraded:
+        log("degraded tunnel: skipping extras")
+        return
+    if _remaining() < 60:
+        log(f"deadline ({_remaining():.0f}s remaining): skipping extras")
+        return
+    run_extras(compiled, step, params, states, obs, out)
 
 
 if __name__ == "__main__":

@@ -23,6 +23,48 @@ from lav_tpu.models.rgb import brake_model_apply, seg_model_apply
 from lav_tpu.utils.tree import merge_bn_state
 
 
+def make_bev_loss_fn(cfg: LAVConfig, v2: bool = False):
+    """The BEV teacher's loss composition as a standalone testable function
+    (VERDICT r4 #3) — value-oracled against the reference's inline formulas
+    (lav_privileged.py:113-123, lav_privileged_v2.py:131-140) in
+    tests/test_oracle_losses.py.
+
+    Returns loss_terms(out, batch, other_weight) -> (loss, metrics)."""
+    bw = jnp.asarray(cfg.branch_weights) if cfg.branch_weights else None
+
+    def loss_terms(out, batch, other_weight=1.0):
+        ego_gt = batch["ego_locs"][:, 1:]
+        cmds = batch["cmds"].astype(jnp.int32)
+
+        if v2:
+            idxs = batch["bras"] == 0
+            plan_l = losses.plan_loss_all_cmds(
+                out.ego_plan_locs, ego_gt, idxs=idxs,
+                item_weights=None if bw is None else bw[cmds],
+            )
+            cmd_l = losses.cmd_bce(
+                out.ego_cast_cmds, cmds, cfg.num_cmds, smooth=cfg.cmd_smooth
+            )
+            ow = other_weight if cfg.use_others_to_train else 0.0
+        else:
+            plan_l = losses.plan_loss_all_cmds(out.ego_plan_locs, ego_gt)
+            cmd_l = losses.cmd_bce(out.ego_cast_cmds, cmds, cfg.num_cmds)
+            ow = 1.0
+
+        cast_l = losses.cast_loss_at_cmd(out.ego_cast_locs, ego_gt, cmds)
+        other_l = losses.other_cast_loss_min_mode(
+            out.other_cast_locs, out.other_locs, out.car_valid
+        )
+        loss = plan_l + cast_l + other_l * ow + cmd_l * cfg.cmd_weight
+        metrics = dict(
+            loss=loss, plan_loss=plan_l, ego_cast_loss=cast_l,
+            other_cast_loss=other_l, cmd_loss=cmd_l,
+        )
+        return loss, metrics
+
+    return loss_terms
+
+
 def make_bev_train_step(cfg: LAVConfig, optimizer, v2: bool = False):
     """batch keys: bev (B,H,W,C) NHWC, ego_locs (B,T+1,2), cmds (B,), nxps
     (B,2), bras (B,), locs (B,N,T+1,2), oris (B,N), typs (B,N).
@@ -31,7 +73,7 @@ def make_bev_train_step(cfg: LAVConfig, optimizer, v2: bool = False):
     smoothing, and a ramped `other_weight` argument
     (lav_privileged_v2.py:111-140, train_bev_v2.py:36-37)."""
 
-    bw = jnp.asarray(cfg.branch_weights) if cfg.branch_weights else None
+    loss_terms = make_bev_loss_fn(cfg, v2=v2)
 
     def step(params, opt_state, batch, rng, other_weight=1.0):
         def loss_fn(p):
@@ -39,33 +81,7 @@ def make_bev_train_step(cfg: LAVConfig, optimizer, v2: bool = False):
                 p, cfg, batch["bev"], batch["ego_locs"], batch["locs"],
                 batch["oris"], batch["nxps"], batch["typs"], rng, train=True,
             )
-            ego_gt = batch["ego_locs"][:, 1:]
-            cmds = batch["cmds"].astype(jnp.int32)
-
-            if v2:
-                idxs = batch["bras"] == 0
-                plan_l = losses.plan_loss_all_cmds(
-                    out.ego_plan_locs, ego_gt, idxs=idxs,
-                    item_weights=None if bw is None else bw[cmds],
-                )
-                cmd_l = losses.cmd_bce(
-                    out.ego_cast_cmds, cmds, cfg.num_cmds, smooth=cfg.cmd_smooth
-                )
-                ow = other_weight if cfg.use_others_to_train else 0.0
-            else:
-                plan_l = losses.plan_loss_all_cmds(out.ego_plan_locs, ego_gt)
-                cmd_l = losses.cmd_bce(out.ego_cast_cmds, cmds, cfg.num_cmds)
-                ow = 1.0
-
-            cast_l = losses.cast_loss_at_cmd(out.ego_cast_locs, ego_gt, cmds)
-            other_l = losses.other_cast_loss_min_mode(
-                out.other_cast_locs, out.other_locs, out.car_valid
-            )
-            loss = plan_l + cast_l + other_l * ow + cmd_l * cfg.cmd_weight
-            metrics = dict(
-                loss=loss, plan_loss=plan_l, ego_cast_loss=cast_l,
-                other_cast_loss=other_l, cmd_loss=cmd_l,
-            )
+            loss, metrics = loss_terms(out, batch, other_weight)
             return loss, (bn_state, metrics)
 
         (_, (bn_state, metrics)), grads = jax.value_and_grad(
