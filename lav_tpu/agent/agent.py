@@ -75,7 +75,8 @@ def _per_cmd(val, num_cmds: int):
 
 def build_agent(cfg: LAVConfig, *, max_points: int = 0,
                 camera_yaws=(-60, 0, 60), rgb_hw=(288, 256), cam_fov=64,
-                compute_dtype=None, skip=(), use_pallas: bool = False):
+                compute_dtype=None, skip=(), use_pallas: bool = False,
+                det_override: bool = False):
     """Returns (init_state, step) for the fused agent.
 
     max_points: raw per-sweep point capacity (default: cfg-derived).
@@ -87,6 +88,14 @@ def build_agent(cfg: LAVConfig, *, max_points: int = 0,
     'lidar', 'planner', 'stack') replaced by cheap dummies — for isolating
     per-stage cost inside the COMPILED full graph (scheduling differs from
     stages timed standalone).  Never use in deployment.
+    det_override: detections come from caller-supplied ground-truth maps
+    instead of the detection heads — the reference ships the same option
+    commented into mot_inference ("Comment this to use predicted
+    detections", lav_final_v2.py:228-231 / lav_final.py:195-197); the
+    route-replay evaluator uses it to drive the planner/collision stack
+    with scripted traffic.  Adds obs keys det_heatmaps (2, H, W)
+    probabilities, det_sizemaps / det_orimaps (2, H, W).  The camera and
+    lidar nets still run (the planner consumes their features).
     step(params, state, obs) -> (Control, AgentState, aux dict); params is
     {'lidar_model', 'uniplanner', 'seg_model', 'bra_model'}.
     obs per tick:
@@ -309,8 +318,16 @@ def build_agent(cfg: LAVConfig, *, max_points: int = 0,
             orim = orim.astype(jnp.float32)
         H, W = cfg.ny, cfg.nx
         ego_px = jnp.array([W / 2.0, H / 2.0 + cfg.y_offset * H / 2.0])
+        if det_override:
+            # GT maps are already probabilities — the reference feeds them
+            # unsigmoided too (gt_det, lav_final_v2.py:233)
+            hm_in, size_in, ori_in = (obs["det_heatmaps"],
+                                      obs["det_sizemaps"],
+                                      obs["det_orimaps"])
+        else:
+            hm_in, size_in, ori_in = jax.nn.sigmoid(hm[0]), size[0], orim[0]
         dets = det_inference(
-            jax.nn.sigmoid(hm[0]), size[0], orim[0],
+            hm_in, size_in, ori_in,
             pixels_per_meter=cfg.pixels_per_meter,
             max_det=cfg.max_det, min_score=cfg.det_min_score,
             ego_xy=ego_px, ego_exclusion_px=2.0,

@@ -23,9 +23,22 @@ from lav_tpu.models.rgb import brake_model_init, seg_model_init
 from lav_tpu.utils.profiling import StepTimer
 
 
-def build_params(cfg, seed: int = 0):
+def build_params(cfg, seed: int = 0, eval_priors: bool = False):
+    """Random demo/eval weights.
+
+    eval_priors: two documented synthetic-weight priors that make the
+    UNTRAINED agent behaviorally scoreable in the replay eval (a trained
+    checkpoint needs neither):
+      * calm brake head (w*0.1, b-3 -> p~0.05): an untrained classifier
+        outputs ~sigmoid(noise) and hard-brakes on ~half the ticks,
+        drowning the collision-forecast behavior;
+      * forward plan prior (cast delta-head bias y=-0.5, plan frame ahead
+        is -y): an untrained cast/plan GRU emits a near-stationary plan
+        (mean step < 0.2 m), so pid_control reads desired_speed ~ 0 and
+        brakes on EVERY tick (control.py:37, brake_speed=0.2).
+    """
     ks = jax.random.split(jax.random.key(seed), 4)
-    return {
+    p = {
         "lidar_model": lidar_model_init(ks[0], cfg.num_input, cfg.num_features),
         "uniplanner": uniplanner_init(ks[1], cfg),
         "seg_model": seg_model_init(ks[2], len(cfg.seg_channels)),
@@ -33,6 +46,26 @@ def build_params(cfg, seed: int = 0):
             ks[3], 3, version=2 if cfg.num_frame_stack > 0 else 1
         ),
     }
+    if eval_priors:
+        cls = dict(p["bra_model"]["classifier"])
+        cls["w"] = cls["w"] * 0.1
+        cls["b"] = cls["b"] - 3.0
+        p["bra_model"] = dict(p["bra_model"], classifier=cls)
+
+        def forward_prior(node):
+            if isinstance(node, dict):
+                out = {}
+                for k, v in node.items():
+                    if k in ("cast_mlps", "plan_mlp") and isinstance(v, dict):
+                        b = v["b"]
+                        out[k] = dict(v, b=b.at[..., 1].set(-0.5))
+                    else:
+                        out[k] = forward_prior(v)
+                return out
+            return node
+
+        p["uniplanner"] = forward_prior(p["uniplanner"])
+    return p
 
 
 def main():

@@ -35,8 +35,14 @@ def main():
     )
     if args.quant:
         print(f"quant: {info['quant']}")
-    states = jax.tree.map(lambda x: jnp.stack([x] * args.num_ego), state)
-    obsb = jax.tree.map(lambda x: jnp.stack([x] * args.num_ego), obs)
+    # setup builds on host; ship once and stack the ego axis ON DEVICE
+    # (host-stacking pushes ~170 MB through the tunnel — see bench.py)
+    dev = jax.devices()[0]
+    state, obs = jax.device_put((state, obs), dev)
+    E = args.num_ego
+    state, obs = jax.jit(
+        lambda t: jax.tree.map(lambda x: jnp.stack([x] * E), t))((state, obs))
+    states, obsb = state, obs
     # match bench.py conditions exactly: bf16 compute + donated state
     # buffers (the ring buffers alias in place)
     vstep = jax.jit(jax.vmap(step, in_axes=(None, 0, 0)),

@@ -34,6 +34,26 @@ def test_interpolate_route_derives_turns():
     assert np.ptp(headings) > 1.0
 
 
+def test_interpolate_route_derives_straight_and_lane_changes():
+    """VERDICT r4 #5: the geometric command derivation must also label
+    gentle junction arcs (STRAIGHT) and lateral jogs (CHANGELANE*).  The
+    validation set's one real lane change (Town05 routes, leftward at
+    ~route-meter 230) must be found; its reversed traversal is the
+    mirrored right change."""
+    routes = parse_routes(VALID_XML)
+    all_cmds = set()
+    for r in routes:
+        all_cmds |= set(interpolate_route(r)[2].tolist())
+    assert 3 in all_cmds, "no STRAIGHT derived anywhere"
+    assert 5 in all_cmds, "the real leftward lane change was not detected"
+
+    r = routes[12]
+    rev = dict(r, waypoints=r["waypoints"][::-1], yaws=r["yaws"][::-1])
+    assert 6 in set(interpolate_route(rev)[2].tolist()), (
+        "reversed leftward lane change must label CHANGELANERIGHT"
+    )
+
+
 def test_dense_route_plan_format():
     routes = parse_routes(VALID_XML)
     plan, dense, headings = dense_route_plan(routes[3])
@@ -55,7 +75,7 @@ def test_route_replay_results_json(tmp_path):
     cfg = tiny_config()
     routes = parse_routes(VALID_XML)[:2]
     init_state, step_fn = build_agent(cfg, max_points=64, rgb_hw=(32, 32))
-    params = build_params(cfg)
+    params = build_params(cfg, eval_priors=True)
 
     # patch the obs generator shapes via evaluate_routes args
     records = evaluate_routes(
@@ -65,10 +85,13 @@ def test_route_replay_results_json(tmp_path):
     )
     assert len(records) == 2
     for r in records:
-        assert r["ticks"] == 40
+        # the stride stretches to cover the full route within max_ticks;
+        # the loop breaks early once the Waypointer exhausts the plan
+        assert 10 <= r["ticks"] <= 40
         assert r["nan_controls"] == 0
-        assert r["plan_progress"] > 0.0, "waypointer never advanced"
+        assert r["plan_progress"] > 80.0, "waypointer never tracked the plan"
         assert 3 in r["cmd_hist"], "no LANEFOLLOW ticks?"
+        assert set(r["cmd_hist"]) & {0, 1, 2}, "no turn commands on an urban route"
 
     results = make_route_results(records)
     recs = results["_checkpoint"]["records"]
