@@ -44,8 +44,11 @@ BASELINE_STEPS_PER_SEC = 500.0
 # budget conservatively and let extras self-cancel
 DEADLINE_S = float(os.environ.get("BENCH_DEADLINE_S", "300"))
 # a probe slower than this means the tunnel is degraded (normal ~2 s,
-# BENCH_r04 measured 88 s at ~19 MB/s): skip everything optional
-PROBE_DEGRADED_S = 15.0
+# BENCH_r04 measured 88 s at ~19 MB/s): skip everything optional.
+# Overridable for builder-side extras capture on a mildly degraded
+# tunnel (paired with a raised BENCH_DEADLINE_S); the driver default
+# stays conservative so the JSON line always lands in budget.
+PROBE_DEGRADED_S = float(os.environ.get("BENCH_PROBE_DEGRADED_S", "15"))
 
 _T0 = time.perf_counter()
 
