@@ -68,18 +68,30 @@ import re
 _SKIP_KEYS = re.compile(r"^(up\d*|upconv\d*|output_conv|conv1_0)$")
 
 
-def quantize_tree(tree, *, min_channels: int = 16):
+def quantize_tree(tree, *, min_channels: int = 16, include=None):
     """Quantize every forward-conv weight dict in a params pytree (dicts
     with a 4-D 'w', excluding the _SKIP_KEYS subtrees above).
     `min_channels` keeps tiny entry stems in float (3-channel RGB stems:
-    negligible cost, image-scale dynamic range)."""
+    negligible cost, image-scale dynamic range).
+    `include`: optional regex (string or compiled) of key names to walk
+    even when _SKIP_KEYS matches — e.g. r"^upconv\\d$" quantizes the
+    lidar backbone's ConvTranspose up-projections through
+    conv_transpose2d_int8 (round-5 campaign on the 3.7 ms bf16-residue
+    bucket; off by default)."""
+    if include is not None and isinstance(include, str):
+        include = re.compile(include)
+
+    def skip(k):
+        return (_SKIP_KEYS.match(k)
+                and not (include is not None and include.match(k)))
+
     def walk(node):
         if _is_conv_params(node):
             if node["w"].shape[2] >= min_channels:
                 return quantize_conv(node)
             return node
         if isinstance(node, dict):
-            return {k: (v if _SKIP_KEYS.match(str(k)) else walk(v))
+            return {k: (v if skip(str(k)) else walk(v))
                     for k, v in node.items()}
         if isinstance(node, (list, tuple)):
             return type(node)(walk(v) for v in node)

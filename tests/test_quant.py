@@ -62,6 +62,27 @@ def test_quantize_tree_skips_protected_subtrees():
     assert "w_int8" in q["center_head"]["conv"]
 
 
+def test_quantize_tree_include_upconv():
+    """include=r"^upconv\\d$" (LAV_INT8_UPCONV=1 in _v2_agent_setup)
+    quantizes exactly the backbone's three ConvTranspose up-projections
+    on top of the default scope; the entry block, head convTs, and every
+    other protected subtree stay raw.  The quantized backbone stays close
+    to float end to end (the trailing BN absorbs the convT dequant)."""
+    from lav_tpu.models.lidar import backbone_init, backbone_apply
+
+    p = backbone_init(jax.random.key(5), 64)
+    q = quantize_tree(p, include=r"^upconv\d$")
+    for k in ("upconv1", "upconv2", "upconv3"):
+        assert "w_int8" in q[k]["conv"], k
+    assert "w" in q["conv1_0"]["conv"]
+
+    x = jax.random.normal(jax.random.key(6), (1, 32, 32, 64))
+    y, _ = backbone_apply(p, x, False)
+    yq, _ = backbone_apply(q, x, False)
+    rel = float(jnp.max(jnp.abs(y - yq)) / (jnp.max(jnp.abs(y)) + 1e-9))
+    assert rel < 0.05, rel
+
+
 N_TICKS = 100
 
 
