@@ -77,7 +77,10 @@ def quantize_tree(tree, *, min_channels: int = 16, include=None):
     even when _SKIP_KEYS matches — e.g. r"^upconv\\d$" quantizes the
     lidar backbone's ConvTranspose up-projections through
     conv_transpose2d_int8 (round-5 campaign on the 3.7 ms bf16-residue
-    bucket; off by default)."""
+    bucket).  MEASURED NET LOSS on TPU — bench 289.36 vs 298.90
+    steps/s: the input-dilated s8 conv is +1.6 ms slower than the
+    bf16 form (lhs_dilation defeats the int8 MXU fast path) and the
+    quantize re-emits add +1.2 ms.  Kept off by default."""
     if include is not None and isinstance(include, str):
         include = re.compile(include)
 
